@@ -61,13 +61,14 @@ class FlagOp:
 
     @staticmethod
     def concrete_true(f: Flag) -> bool:
-        return f is True or (static_check_is_concrete(f) and jnp.all(f).item() is True)
+        """True iff the flag is the *Python literal* ``True``. Concrete bool
+        arrays deliberately do not fold (their Mask structure must survive
+        jit boundaries with consistent pytree shapes)."""
+        return f is True
 
     @staticmethod
     def concrete_false(f: Flag) -> bool:
-        return f is False or (
-            static_check_is_concrete(f) and not jnp.any(f).item()
-        )
+        return f is False
 
     @staticmethod
     def and_(a: Flag, b: Flag) -> Flag:

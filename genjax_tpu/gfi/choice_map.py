@@ -1,0 +1,424 @@
+"""``ChoiceMap``: a hierarchical map from addresses (strings, ints, dynamic
+int arrays, slices, tuples) to random choices — an algebra closed under
+filter / merge / mask / extend / switch.
+
+Parity target: ``ChoiceMap`` and node types in
+``/root/reference/src/genjax/_src/core/generative/choice_map.py:847-1786``.
+Design differences from the reference:
+
+- trie nodes store static keys + dynamic subtree tuples (cheap flatten);
+- masking/filtering fold away entirely when flags are concrete (``FlagOp``);
+- dynamic-index lookup (``Indexed``) lowers to ``argmax`` + gather so it is
+  vmap/shard_map-safe on TPU.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Iterable, Mapping, Sequence
+
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.compiler.staging import FlagOp
+from genjax_tpu.core.typing import Flag, static_check_is_concrete
+from genjax_tpu.gfi.mask import Mask
+from genjax_tpu.gfi.selection import (
+    AllSel,
+    NoneSel,
+    Selection,
+    addr_tuple,
+)
+
+__all__ = [
+    "ChoiceMap",
+    "ChoiceMapBuilder",
+    "ChoiceMapNoValueAtAddress",
+    "ChmSel",
+]
+
+
+class ChoiceMapNoValueAtAddress(Exception):
+    """Raised when ``chm[addr]`` finds no value at ``addr``.
+
+    Parity: reference ``choice_map.py:671``."""
+
+
+def _is_static_comp(comp) -> bool:
+    return isinstance(comp, (str, int))
+
+
+class ChoiceMap(Pytree):
+    """Abstract choice-map node. Subclasses implement :meth:`get_value`,
+    :meth:`get_inner_map`, and :meth:`filter`."""
+
+    # -- abstract ---------------------------------------------------------
+
+    @abc.abstractmethod
+    def get_value(self) -> Any:
+        """The value at this node (possibly a :class:`Mask`), or ``None``."""
+
+    @abc.abstractmethod
+    def get_inner_map(self, comp) -> "ChoiceMap":
+        """Descend one address component."""
+
+    def filter(self, selection: Selection | Flag) -> "ChoiceMap":
+        """Keep only addresses selected by ``selection`` (or gated by a
+        raw flag)."""
+        if not isinstance(selection, Selection):
+            selection = AllSel().mask(selection)
+        if isinstance(selection, AllSel):
+            return self
+        if isinstance(selection, NoneSel):
+            return ChoiceMap.empty()
+        if self.static_is_empty():
+            return self
+        return Filtered(self, selection)
+
+    # -- traversal --------------------------------------------------------
+
+    def get_submap(self, *addresses) -> "ChoiceMap":
+        chm = self
+        for a in addresses:
+            for comp in addr_tuple(a):
+                chm = chm.get_inner_map(comp)
+        return chm
+
+    def __call__(self, *addresses) -> "ChoiceMap":
+        return self.get_submap(*addresses)
+
+    def __getitem__(self, addr):
+        v = self.get_submap(addr).get_value()
+        if v is None:
+            raise ChoiceMapNoValueAtAddress(addr)
+        return v
+
+    def __contains__(self, addr) -> bool:
+        return self.has_value_at(addr)
+
+    def has_value(self) -> bool:
+        return self.get_value() is not None
+
+    def has_value_at(self, addr) -> bool:
+        return self.get_submap(addr).has_value()
+
+    def static_is_empty(self) -> bool:
+        return False
+
+    # -- algebra ----------------------------------------------------------
+
+    def mask(self, flag: Flag) -> "ChoiceMap":
+        return self.filter(flag)
+
+    def extend(self, *addrs) -> "ChoiceMap":
+        """Nest under an address prefix: static components build trie nodes,
+        dynamic (array) components build :class:`Indexed` nodes."""
+        chm = self
+        comps: list = []
+        for a in addrs:
+            comps.extend(addr_tuple(a))
+        for comp in reversed(comps):
+            if _is_static_comp(comp):
+                chm = Static.build({comp: chm})
+            else:
+                chm = Indexed(chm, jnp.asarray(comp))
+        return chm
+
+    def merge(self, other: "ChoiceMap") -> "ChoiceMap":
+        return self | other
+
+    def __or__(self, other: "ChoiceMap") -> "ChoiceMap":
+        if self.static_is_empty():
+            return other
+        if other.static_is_empty():
+            return self
+        return Or(self, other)
+
+    def __add__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return self | other
+
+    def __and__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return other.filter(self.get_selection())
+
+    def get_selection(self) -> Selection:
+        return ChmSel(self)
+
+    # -- constructors -----------------------------------------------------
+
+    @staticmethod
+    def empty() -> "ChoiceMap":
+        return Empty()
+
+    @staticmethod
+    def choice(v: Any) -> "ChoiceMap":
+        return Choice(v)
+
+    @staticmethod
+    def value(v: Any) -> "ChoiceMap":
+        return Choice(v)
+
+    @staticmethod
+    def entry(v: Any, *addrs) -> "ChoiceMap":
+        """A single value at an address path."""
+        if isinstance(v, ChoiceMap):
+            chm = v
+        elif isinstance(v, Mapping):
+            chm = ChoiceMap.d(v)
+        else:
+            chm = Choice(v)
+        return chm.extend(*addrs)
+
+    @staticmethod
+    def from_mapping(pairs: Iterable[tuple]) -> "ChoiceMap":
+        chm: ChoiceMap = Empty()
+        for addr, v in pairs:
+            chm = chm | ChoiceMap.entry(v, *addr_tuple(addr))
+        return chm
+
+    @staticmethod
+    def d(mapping: Mapping) -> "ChoiceMap":
+        """Dict constructor: ``ChoiceMap.d({"x": 1, ("y", "z"): 2.0})``."""
+        return ChoiceMap.from_mapping(mapping.items())
+
+    @staticmethod
+    def kw(**kwargs) -> "ChoiceMap":
+        return ChoiceMap.d(kwargs)
+
+    @staticmethod
+    def switch(idx, chms: Sequence["ChoiceMap"]) -> "ChoiceMap":
+        """Branch-select: values from ``chms[idx]``, others masked out."""
+        if static_check_is_concrete(idx) and isinstance(idx, int):
+            return chms[idx]
+        return Switch(jnp.asarray(idx), tuple(chms))
+
+    # -- builder ----------------------------------------------------------
+
+    @property
+    def at(self) -> "ChoiceMapBuilder":
+        return ChoiceMapBuilder(self, ())
+
+    def __repr__(self):
+        return f"<{type(self).__name__}>"
+
+
+@Pytree.dataclass
+class ChoiceMapBuilder(Pytree):
+    """``chm.at["x", "y"].set(v)`` — fluent construction / functional update.
+
+    Parity: reference ``choice_map.py:752-844``."""
+
+    base: ChoiceMap | None
+    path: tuple
+
+    def __getitem__(self, addr) -> "ChoiceMapBuilder":
+        return ChoiceMapBuilder(self.base, self.path + addr_tuple(addr))
+
+    def set(self, v) -> ChoiceMap:
+        entry = ChoiceMap.entry(v, *self.path)
+        if self.base is None or self.base.static_is_empty():
+            return entry
+        return entry | self.base
+
+
+#: Module-level builder: ``C["x"].set(1.0)``.
+C = ChoiceMapBuilder(None, ())
+
+
+@Pytree.dataclass
+class Empty(ChoiceMap):
+    def get_value(self):
+        return None
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        return self
+
+    def filter(self, selection) -> ChoiceMap:
+        return self
+
+    def static_is_empty(self) -> bool:
+        return True
+
+
+@Pytree.dataclass
+class Choice(ChoiceMap):
+    """A single value at this node (possibly Mask-wrapped)."""
+
+    v: Any
+
+    def get_value(self):
+        return self.v
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        return Empty()
+
+
+@Pytree.dataclass
+class Static(ChoiceMap):
+    """Trie node with static (str/int) keys."""
+
+    submaps: tuple
+    keys: tuple = Pytree.static()
+
+    @staticmethod
+    def build(mapping: Mapping) -> "Static":
+        keys = tuple(mapping.keys())
+        return Static(tuple(mapping[k] for k in keys), keys)
+
+    def get_value(self):
+        return None
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        if _is_static_comp(comp):
+            for k, sub in zip(self.keys, self.submaps):
+                if k == comp:
+                    return sub
+            return Empty()
+        # Dynamic component against static int keys: masked union.
+        out: ChoiceMap = Empty()
+        for k, sub in zip(self.keys, self.submaps):
+            if isinstance(k, int):
+                out = out | sub.mask(jnp.asarray(comp) == k)
+        return out
+
+    def mapping(self) -> dict:
+        return dict(zip(self.keys, self.submaps))
+
+
+@Pytree.dataclass
+class Indexed(ChoiceMap):
+    """Dynamic-index node: ``inner`` has a leading batch dimension (or is a
+    scalar lane when built inside ``vmap``), ``idx`` holds the address of
+    each lane. Lookup of component ``j`` returns the lane where
+    ``idx == j``, masked by membership.
+
+    Parity: reference ``choice_map.py:1453-1531``.
+    """
+
+    inner: ChoiceMap
+    idx: Any
+
+    def get_value(self):
+        return None
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        if isinstance(comp, str):
+            return Empty()
+        idx = jnp.asarray(self.idx)
+        if isinstance(comp, slice):
+            if idx.ndim == 0:
+                return self
+            sliced = jtu.tree_map(lambda v: v[comp], self.inner)
+            return Indexed(sliced, idx[comp])
+        comp = jnp.asarray(comp)
+        if idx.ndim == 0:
+            # Scalar lane (e.g. built under vmap, before batching).
+            return self.inner.mask(comp == idx)
+        if comp.ndim > 0:
+            # Vector query: per-lane gather, mask lanes without a match.
+            pos = jnp.argmax(
+                idx[None, :] == comp[:, None], axis=1
+            )
+            found = jnp.any(idx[None, :] == comp[:, None], axis=1)
+            gathered = jtu.tree_map(lambda v: v[pos], self.inner)
+            return gathered.mask(found)
+        pos = jnp.argmax(idx == comp)
+        found = jnp.any(idx == comp)
+        lane = jtu.tree_map(lambda v: v[pos], self.inner)
+        return lane.mask(found)
+
+
+@Pytree.dataclass
+class Switch(ChoiceMap):
+    """Masked branches selected by a (possibly traced) index.
+
+    Parity: reference ``choice_map.py:1626-1668``."""
+
+    idx: Any
+    branches: tuple
+
+    def get_value(self):
+        vals = [
+            Mask.maybe_mask(b.get_value(), jnp.asarray(self.idx) == k)
+            for k, b in enumerate(self.branches)
+        ]
+        present = [v for v in vals if v is not None]
+        if not present:
+            return None
+        masked = [Mask.build(v) for v in present]
+        out = Mask.or_n(*masked)
+        return Mask.maybe_mask(out.value, out.flag)
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        return Switch(
+            self.idx, tuple(b.get_inner_map(comp) for b in self.branches)
+        )
+
+
+@Pytree.dataclass
+class Or(ChoiceMap):
+    """Priority union: values in ``left`` win at overlapping addresses.
+
+    Parity: reference ``choice_map.py:1671-1744``."""
+
+    left: ChoiceMap
+    right: ChoiceMap
+
+    def get_value(self):
+        a = self.left.get_value()
+        b = self.right.get_value()
+        if a is None and b is None:
+            return None
+        if a is None:
+            return b
+        if b is None:
+            return a
+        ma, mb = Mask.build(a), Mask.build(b)
+        out = ma | mb
+        return Mask.maybe_mask(out.value, out.flag)
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        return self.left.get_inner_map(comp) | self.right.get_inner_map(comp)
+
+
+@Pytree.dataclass
+class Filtered(ChoiceMap):
+    """Lazy filter of ``inner`` by a selection."""
+
+    inner: ChoiceMap
+    selection: Selection
+
+    def get_value(self):
+        v = self.inner.get_value()
+        if v is None:
+            return None
+        flag = self.selection.check()
+        return Mask.maybe_mask(v, flag)
+
+    def get_inner_map(self, comp) -> ChoiceMap:
+        sub = self.inner.get_inner_map(comp)
+        subsel = self.selection.get_subselection(comp)
+        return sub.filter(subsel)
+
+
+@Pytree.dataclass
+class ChmSel(Selection):
+    """The selection of all addresses present in a choice map.
+
+    Parity: reference ``choice_map.py:627-663``."""
+
+    chm: ChoiceMap
+
+    def check(self) -> Flag:
+        v = self.chm.get_value()
+        if v is None:
+            return False
+        if isinstance(v, Mask):
+            return v.primal_flag()
+        return True
+
+    def get_subselection(self, comp) -> Selection:
+        sub = self.chm.get_inner_map(comp)
+        if sub.static_is_empty():
+            return NoneSel()
+        return ChmSel(sub)

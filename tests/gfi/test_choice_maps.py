@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import pytest
+
+from genjax_tpu.gfi.choice_map import (
+    C,
+    ChoiceMap,
+    ChoiceMapNoValueAtAddress,
+)
+from genjax_tpu.gfi.mask import Mask
+from genjax_tpu.gfi.selection import Selection
+
+
+class TestConstruction:
+    def test_choice(self):
+        chm = ChoiceMap.choice(42)
+        assert chm.get_value() == 42
+        assert chm.has_value()
+
+    def test_entry(self):
+        chm = ChoiceMap.entry(3.0, "x", "y")
+        assert chm["x", "y"] == 3.0
+        assert chm("x")("y").get_value() == 3.0
+
+    def test_d(self):
+        chm = ChoiceMap.d({"x": 1, ("y", "z"): 2.0})
+        assert chm["x"] == 1
+        assert chm["y", "z"] == 2.0
+
+    def test_kw(self):
+        chm = ChoiceMap.kw(x=1.0, y=2.0)
+        assert chm["x"] == 1.0
+        assert chm["y"] == 2.0
+
+    def test_builder(self):
+        chm = C["x", "y"].set(3.0)
+        assert chm["x", "y"] == 3.0
+
+    def test_at_update(self):
+        chm = ChoiceMap.d({("x", "y"): 3.0, "z": 12.0})
+        updated = chm.at["x", "y"].set(4.0)
+        assert updated["x", "y"] == 4.0
+        assert updated["z"] == 12.0
+
+    def test_missing_raises(self):
+        chm = ChoiceMap.d({"x": 1})
+        with pytest.raises(ChoiceMapNoValueAtAddress):
+            chm["nope"]
+
+    def test_contains(self):
+        chm = ChoiceMap.d({"x": 1})
+        assert "x" in chm
+        assert "y" not in chm
+
+    def test_empty(self):
+        assert ChoiceMap.empty().static_is_empty()
+        assert not ChoiceMap.d({"x": 1}).static_is_empty()
+
+
+class TestMergeAndFilter:
+    def test_or_priority(self):
+        a = ChoiceMap.d({"x": 1.0})
+        b = ChoiceMap.d({"x": 2.0, "y": 3.0})
+        merged = a | b
+        assert merged["x"] == 1.0
+        assert merged["y"] == 3.0
+
+    def test_and(self):
+        a = ChoiceMap.d({"x": 1.0})
+        b = ChoiceMap.d({"x": 2.0, "y": 3.0})
+        both = a & b
+        assert both["x"] == 2.0
+        assert "y" not in both
+
+    def test_filter_static(self):
+        chm = ChoiceMap.d({"x": 1.0, "y": 2.0})
+        f = chm.filter(Selection.at["x"])
+        assert f["x"] == 1.0
+        assert "y" not in f
+
+    def test_filter_complement(self):
+        chm = ChoiceMap.d({"x": 1.0, "y": 2.0})
+        f = chm.filter(~Selection.at["x"])
+        assert "x" not in f
+        assert f["y"] == 2.0
+
+    def test_mask_concrete(self):
+        chm = ChoiceMap.choice(42)
+        assert chm.mask(True).get_value() == 42
+        assert chm.mask(False).get_value() is None
+
+    def test_mask_traced(self):
+        chm = ChoiceMap.choice(jnp.asarray(42.0))
+        m = chm.mask(jnp.asarray(True)).get_value()
+        assert isinstance(m, Mask)
+        assert m.unmask() == 42.0
+
+    def test_extend(self):
+        chm = ChoiceMap.choice(42).extend("x")
+        assert chm["x"] == 42
+
+    def test_get_selection(self):
+        chm = ChoiceMap.d({"x": 1.0})
+        sel = chm.get_selection()
+        assert sel["x"] is True or bool(sel["x"])
+        assert not bool(sel["y"])
+
+
+class TestSwitch:
+    def test_switch_concrete(self):
+        chm1 = ChoiceMap.d({"x": 1.0})
+        chm2 = ChoiceMap.d({"x": 3.0})
+        out = ChoiceMap.switch(1, [chm1, chm2])
+        assert out["x"] == 3.0
+
+    def test_switch_traced(self):
+        chm1 = ChoiceMap.d({"x": 1.0, "y": 2.0})
+        chm2 = ChoiceMap.d({"x": 3.0, "y": 4.0})
+        out = ChoiceMap.switch(jnp.asarray(1), [chm1, chm2])
+        assert out["x"].unmask() == 3.0
+        assert out["y"].unmask() == 4.0
+
+
+class TestIndexed:
+    def test_scalar_dynamic_extend(self):
+        chm = ChoiceMap.entry(5.0, jnp.asarray(3))
+        got = chm.get_submap(3).get_value()
+        assert Mask.build(got).unmask() == 5.0
+        missing = chm.get_submap(2).get_value()
+        if missing is not None:
+            flag = Mask.build(missing).primal_flag()
+            assert not bool(jnp.all(jnp.asarray(flag)))
+
+    def test_vmap_constructed(self):
+        vec_chm = jax.vmap(lambda idx, v: C["x", idx].set(v))(
+            jnp.arange(10), jnp.arange(10.0) * 2
+        )
+        sub = vec_chm.get_submap("x", 3).get_value()
+        assert Mask.build(sub).unmask() == 6.0
+
+    def test_vmap_constructed_missing(self):
+        vec_chm = jax.vmap(lambda idx, v: C["x", idx].set(v))(
+            jnp.arange(5) * 2, jnp.arange(5.0)
+        )
+        sub = vec_chm.get_submap("x", 3).get_value()  # odd idx: missing
+        flag = Mask.build(sub).primal_flag()
+        assert not bool(jnp.all(jnp.asarray(flag)))
+
+
+class TestJitCompat:
+    def test_chm_through_jit(self):
+        @jax.jit
+        def f(chm):
+            return chm["x"] + 1.0
+
+        assert f(ChoiceMap.d({"x": jnp.asarray(1.0)})) == 2.0
+
+    def test_filter_through_jit(self):
+        @jax.jit
+        def f(chm, flag):
+            m = chm.mask(flag).get_value()
+            return m.unmask(default=jnp.asarray(-1.0))
+
+        chm = ChoiceMap.choice(jnp.asarray(5.0))
+        assert f(chm, jnp.asarray(True)) == 5.0
+        assert f(chm, jnp.asarray(False)) == -1.0
