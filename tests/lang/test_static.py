@@ -1,0 +1,201 @@
+"""GFI contract tests for the ``@gen`` static DSL.
+
+Mirrors the reference's test strategy (SURVEY §4.2):
+``/root/reference/tests/generative_functions/test_static_gen_fn.py`` —
+score/weight identities against hand-computed log-densities, address-reuse
+errors, update weight correctness.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.stats as jss
+import pytest
+
+import genjax_tpu as g
+
+KEY = jax.random.key(314159)
+
+
+@g.gen
+def two_normals(mu):
+    x = g.normal(mu, 1.0) @ "x"
+    y = g.normal(x, 0.1) @ "y"
+    return y
+
+
+class TestSimulate:
+    def test_score_is_joint_logpdf(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        chm = tr.get_choices()
+        x, y = chm["x"], chm["y"]
+        expected = jss.norm.logpdf(x, 0.5, 1.0) + jss.norm.logpdf(y, x, 0.1)
+        assert jnp.allclose(tr.get_score(), expected)
+
+    def test_retval(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        assert jnp.allclose(tr.get_retval(), tr.get_choices()["y"])
+
+    def test_jit(self):
+        tr = jax.jit(two_normals.simulate)(KEY, (0.5,))
+        expected = two_normals.simulate(KEY, (0.5,))
+        assert jnp.allclose(tr.get_score(), expected.get_score())
+
+    def test_vmap(self):
+        keys = jax.random.split(KEY, 8)
+        trs = jax.vmap(two_normals.simulate, in_axes=(0, None))(keys, (0.5,))
+        assert trs.get_score().shape == (8,)
+        # Lane 3 equals a standalone run with the same key.
+        tr3 = two_normals.simulate(keys[3], (0.5,))
+        assert jnp.allclose(trs.get_score()[3], tr3.get_score())
+
+    def test_address_reuse_raises(self):
+        @g.gen
+        def bad():
+            _ = g.normal(0.0, 1.0) @ "x"
+            return g.normal(0.0, 1.0) @ "x"
+
+        with pytest.raises(g.AddressReuse):
+            bad.simulate(KEY, ())
+
+    def test_nested_gen_fns(self):
+        @g.gen
+        def inner(mu):
+            return g.normal(mu, 1.0) @ "z"
+
+        @g.gen
+        def outer():
+            a = inner(0.0) @ "a"
+            b = inner(a) @ "b"
+            return b
+
+        tr = outer.simulate(KEY, ())
+        chm = tr.get_choices()
+        a, b = chm["a", "z"], chm["b", "z"]
+        expected = jss.norm.logpdf(a, 0.0, 1.0) + jss.norm.logpdf(b, a, 1.0)
+        assert jnp.allclose(tr.get_score(), expected)
+
+
+class TestAssess:
+    def test_matches_simulate_score(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        score, retval = two_normals.assess(tr.get_choices(), (0.5,))
+        assert jnp.allclose(score, tr.get_score())
+        assert jnp.allclose(retval, tr.get_retval())
+
+    def test_missing_address_raises(self):
+        with pytest.raises(g.MissingAddress):
+            two_normals.assess(g.C["x"].set(1.0), (0.5,))
+
+
+class TestGenerate:
+    def test_full_constraint_weight_is_score(self):
+        chm = g.C["x"].set(1.0) | g.C["y"].set(1.1)
+        tr, w = two_normals.generate(KEY, chm, (0.5,))
+        assert jnp.allclose(w, tr.get_score())
+
+    def test_partial_constraint_weight(self):
+        tr, w = two_normals.generate(KEY, g.C["y"].set(1.0), (0.5,))
+        x = tr.get_choices()["x"]
+        assert jnp.allclose(w, jss.norm.logpdf(1.0, x, 0.1))
+
+    def test_empty_constraint_weight_zero(self):
+        tr, w = two_normals.generate(KEY, g.ChoiceMap.empty(), (0.5,))
+        assert jnp.allclose(w, 0.0)
+
+
+class TestUpdate:
+    def test_weight_is_score_delta_full_reuse(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        new_tr, w, _rd, discard = tr.update(
+            jax.random.key(1), g.C["x"].set(0.0)
+        )
+        # All randomness retained or constrained: w = s' - s.
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score())
+        assert jnp.allclose(discard["x"], tr.get_choices()["x"])
+        assert jnp.allclose(new_tr.get_choices()["x"], 0.0)
+        # y retained:
+        assert jnp.allclose(
+            new_tr.get_choices()["y"], tr.get_choices()["y"]
+        )
+
+    def test_update_roundtrip_weight_antisymmetry(self):
+        # fwd then bwd update returns to the original trace; weights cancel.
+        tr = two_normals.simulate(KEY, (0.5,))
+        new_tr, w_fwd, _, discard = tr.update(
+            jax.random.key(1), g.C["x"].set(0.0)
+        )
+        back_tr, w_bwd, _, _ = new_tr.update(jax.random.key(2), discard)
+        assert jnp.allclose(w_fwd + w_bwd, 0.0, atol=1e-5)
+        assert jnp.allclose(back_tr.get_score(), tr.get_score())
+
+    def test_argdiff_update(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        argdiffs = (g.Diff(1.5, g.UnknownChange),)
+        new_tr, w, _, _ = tr.update(
+            jax.random.key(1), g.ChoiceMap.empty(), argdiffs
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score())
+        x = tr.get_choices()["x"]
+        assert jnp.allclose(
+            w, jss.norm.logpdf(x, 1.5, 1.0) - jss.norm.logpdf(x, 0.5, 1.0)
+        )
+
+
+class TestRegenerate:
+    def test_regenerate_weight_identity(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        rtr, w, _, _ = tr.edit(jax.random.key(7), g.Regenerate(g.S.at["x"]))
+        chm, rchm = tr.get_choices(), rtr.get_choices()
+        # y retained; x resampled from prior => w = logpdf(y; x', .1) -
+        # logpdf(y; x, .1).
+        assert jnp.allclose(rchm["y"], chm["y"])
+        expected = jss.norm.logpdf(chm["y"], rchm["x"], 0.1) - jss.norm.logpdf(
+            chm["y"], chm["x"], 0.1
+        )
+        assert jnp.allclose(w, expected, atol=1e-5)
+
+    def test_regenerate_none_is_noop(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        rtr, w, _, _ = tr.edit(jax.random.key(7), g.Regenerate(g.S.none()))
+        assert jnp.allclose(w, 0.0)
+        assert jnp.allclose(rtr.get_choices()["x"], tr.get_choices()["x"])
+
+
+class TestProject:
+    def test_project_all_is_score(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        w = tr.project(jax.random.key(1), g.S.all())
+        assert jnp.allclose(w, tr.get_score())
+
+    def test_project_subset(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        w = tr.project(jax.random.key(1), g.S.at["x"])
+        x = tr.get_choices()["x"]
+        assert jnp.allclose(w, jss.norm.logpdf(x, 0.5, 1.0))
+
+
+class TestSugar:
+    def test_inline(self):
+        @g.gen
+        def inner(mu):
+            return g.normal(mu, 1.0) @ "z"
+
+        @g.gen
+        def outer():
+            return inner.inline(1.0)
+
+        tr = outer.simulate(KEY, ())
+        assert jnp.allclose(
+            tr.get_score(), jss.norm.logpdf(tr.get_choices()["z"], 1.0, 1.0)
+        )
+
+    def test_partial_apply(self):
+        fixed = two_normals.partial_apply(0.5)
+        tr = fixed.simulate(KEY, ())
+        ref = two_normals.simulate(KEY, (0.5,))
+        assert jnp.allclose(tr.get_score(), ref.get_score())
+
+    def test_get_zero_trace(self):
+        ztr = two_normals.get_zero_trace(0.5)
+        assert jnp.allclose(ztr.get_score(), 0.0)
+        assert jnp.allclose(ztr.get_choices()["x"], 0.0)
