@@ -1,0 +1,30 @@
+"""Distributed inference over device meshes (TPU ICI/DCN via XLA
+collectives)."""
+
+from genjax_tpu.parallel.mesh import (
+    Mesh,
+    NamedSharding,
+    P,
+    host_device_mesh,
+    particle_mesh,
+    replicated,
+    shard_leading_axis,
+)
+from genjax_tpu.parallel.smc import (
+    sharded_importance,
+    sharded_resample,
+    sharded_smc_step,
+)
+
+__all__ = [
+    "Mesh",
+    "NamedSharding",
+    "P",
+    "host_device_mesh",
+    "particle_mesh",
+    "replicated",
+    "shard_leading_axis",
+    "sharded_importance",
+    "sharded_resample",
+    "sharded_smc_step",
+]
