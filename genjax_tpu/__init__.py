@@ -61,6 +61,8 @@ from genjax_tpu.lang.static import (
 )
 from genjax_tpu.lang.distributions import *  # noqa: F401,F403
 from genjax_tpu.lang.distributions import __all__ as _dist_all
+from genjax_tpu.lang.combinators import *  # noqa: F401,F403
+from genjax_tpu.lang.combinators import __all__ as _comb_all
 
 #: ``S`` — the selection builder: ``S["x"]``, ``S.all()``, ...
 S = Selection
@@ -113,4 +115,5 @@ __all__ = [
     "to_shape_fn",
     "tree_choose",
     *_dist_all,
+    *_comb_all,
 ]

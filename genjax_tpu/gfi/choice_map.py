@@ -305,6 +305,20 @@ class Indexed(ChoiceMap):
         if isinstance(comp, str):
             return Empty()
         idx = jnp.asarray(self.idx)
+        # Concrete fast path: fold the gather + mask away entirely.
+        if (
+            isinstance(comp, int)
+            and static_check_is_concrete(idx)
+            and idx.ndim == 1
+        ):
+            import numpy as _np
+
+            host_idx = _np.asarray(idx)
+            hits = _np.nonzero(host_idx == comp)[0]
+            if len(hits) == 0:
+                return Empty()
+            lane = jtu.tree_map(lambda v: v[int(hits[0])], self.inner)
+            return lane
         if isinstance(comp, slice):
             if idx.ndim == 0:
                 return self

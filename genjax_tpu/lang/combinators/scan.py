@@ -1,0 +1,384 @@
+"""``Scan`` combinator: Markov composition ``(c, a) -> (c, b)`` of a
+generative function over ``jax.lax.scan`` — the sequence axis stays
+on-device and sequential (TPU-friendly: one compiled step body, static
+shapes), while particle/chain axes shard across the mesh (SURVEY §2.3).
+
+Parity target: ``/root/reference/src/genjax/_src/generative_functions/
+combinators/scan.py`` (``ScanTrace`` :55, ``Scan`` :109, per-step fold_in
+keys :213, int-indexed choices :77, ``assess`` :638-664, derived
+``accumulate``/``reduce``/``iterate``/``iterate_final``/``masked_iterate``
+:791-1150). The reference's ``edit_index`` single-step repair is subsumed
+here by a full re-scan (correct for all argdiffs; the O(1)-step repair is a
+later optimization).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import lax
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.compiler.interpreters.incremental import Diff
+from genjax_tpu.gfi.choice_map import ChoiceMap, Indexed
+from genjax_tpu.gfi.concepts import (
+    Argdiffs,
+    EditRequest,
+    IndexRequest,
+    Score,
+    Weight,
+)
+from genjax_tpu.gfi.gfn import GenerativeFunction, Trace
+from genjax_tpu.gfi.mask import Mask
+from genjax_tpu.gfi.requests import Regenerate, Update
+from genjax_tpu.gfi.selection import Selection
+
+__all__ = [
+    "Scan",
+    "ScanTrace",
+    "scan",
+    "accumulate",
+    "reduce",
+    "iterate",
+    "iterate_final",
+    "masked_iterate",
+    "masked_iterate_final",
+    "prepend_initial_acc",
+]
+
+
+@Pytree.dataclass
+class ScanTrace(Trace[Any]):
+    """Stacked per-step inner traces (axis 0 = time); score is the sum of
+    step scores. Parity: reference ``scan.py:55-97``."""
+
+    gen_fn: "Scan"
+    inner: Trace
+    args: tuple
+    retval: Any
+    n: int = Pytree.static()
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self):
+        return self.retval
+
+    def get_gen_fn(self):
+        return self.gen_fn
+
+    def get_score(self) -> Score:
+        return jnp.sum(self.inner.get_score())
+
+    def get_choices(self) -> ChoiceMap:
+        return Indexed(self.inner.get_choices(), jnp.arange(self.n))
+
+    def get_inner_trace(self, address):
+        return jtu.tree_map(lambda v: v[address], self.inner)
+
+
+@Pytree.dataclass
+class Scan(GenerativeFunction[Any]):
+    """``Scan(inner, length)``: ``inner`` has signature
+    ``(carry, scanned_in) -> (carry, out)``; the scanned gen fn has
+    signature ``(init_carry, scanned_ins) -> (final_carry, stacked_outs)``.
+    Choices live under integer step addresses."""
+
+    inner: GenerativeFunction[Any]
+    length: int | None = Pytree.static(default=None)
+
+    def _n(self, args) -> int:
+        if self.length is not None:
+            return self.length
+        _, xs = args
+        leaves = jtu.tree_leaves(xs)
+        if not leaves:
+            raise ValueError("Scan without length requires scanned inputs.")
+        return jnp.shape(leaves[0])[0]
+
+    def simulate(self, key: jax.Array, args: tuple) -> ScanTrace:
+        init, xs = args
+        n = self._n(args)
+
+        def step(carry, inp):
+            i, x = inp
+            sub_key = jax.random.fold_in(key, i)
+            tr = self.inner.simulate(sub_key, (carry, x))
+            new_carry, out = tr.get_retval()
+            return new_carry, (tr, out)
+
+        final, (inner_tr, outs) = lax.scan(
+            step, init, (jnp.arange(n), xs), length=n
+        )
+        return ScanTrace(self, inner_tr, args, (final, outs), n)
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        init, xs = args
+        n = self._n(args)
+
+        def step(carry, inp):
+            i, x = inp
+            sub = chm.get_submap(i)
+            score, (new_carry, out) = self.inner.assess(sub, (carry, x))
+            return new_carry, (score, out)
+
+        final, (scores, outs) = lax.scan(
+            step, init, (jnp.arange(n), xs), length=n
+        )
+        return jnp.sum(scores), (final, outs)
+
+    def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
+        init, xs = args
+        n = self._n(args)
+
+        def step(carry, inp):
+            i, x = inp
+            sub_key = jax.random.fold_in(key, i)
+            sub = constraint.get_submap(i)
+            tr, w = self.inner.generate(sub_key, sub, (carry, x))
+            new_carry, out = tr.get_retval()
+            return new_carry, (tr, w, out)
+
+        final, (inner_tr, ws, outs) = lax.scan(
+            step, init, (jnp.arange(n), xs), length=n
+        )
+        trace = ScanTrace(self, inner_tr, args, (final, outs), n)
+        return trace, jnp.sum(ws)
+
+    def project(self, key: jax.Array, trace: ScanTrace,
+                selection: Selection) -> Weight:
+        n = trace.n
+
+        def step(_, inp):
+            i, inner_tr = inp
+            sub_key = jax.random.fold_in(key, i)
+            subsel = selection(i)
+            w = self.inner.project(sub_key, inner_tr, subsel)
+            return None, w
+
+        _, ws = lax.scan(step, None, (jnp.arange(n), trace.inner), length=n)
+        return jnp.sum(ws)
+
+    def edit(self, key: jax.Array, trace: ScanTrace, request: EditRequest,
+             argdiffs: Argdiffs):
+        """Full re-scan edit: each step serves its sub-request with the
+        (recomputed) carry; carries downstream of any change are treated as
+        changed. Correct for all argdiffs (reference optimizes the
+        index-edit case, ``scan.py:325-416``)."""
+        args = Diff.tree_primal(argdiffs)
+        init, xs = args
+        n = self._n(args)
+
+        if isinstance(request, IndexRequest):
+            sub_per_step = None
+            target_idx = jnp.asarray(request.idx)
+        elif isinstance(request, (Update, Regenerate)):
+            sub_per_step = request
+            target_idx = None
+        else:
+            raise NotImplementedError(
+                f"Scan does not support {type(request).__name__}"
+            )
+
+        def step(carry, inp):
+            i, x, inner_tr = inp
+            sub_key = jax.random.fold_in(key, i)
+            if isinstance(request, Update):
+                sub_req: EditRequest = Update(request.constraint.get_submap(i))
+            elif isinstance(request, Regenerate):
+                sub_req = Regenerate(request.selection(i))
+            else:  # IndexRequest: apply subrequest only at the target step.
+                sub = getattr(request.subrequest, "constraint", None)
+                if sub is not None:
+                    gated = sub.mask(i == target_idx)
+                    sub_req = Update(gated)
+                else:
+                    sel = getattr(request.subrequest, "selection", None)
+                    assert sel is not None, (
+                        "IndexRequest subrequest must be Update or "
+                        "Regenerate for Scan"
+                    )
+                    sub_req = Regenerate(sel.mask(i == target_idx))
+            step_diffs = (Diff.unknown_change((carry, x)))
+            new_tr, w, _rd, bwd = sub_req.edit(sub_key, inner_tr, step_diffs)
+            new_carry, out = new_tr.get_retval()
+            discard = (
+                bwd.constraint if isinstance(bwd, Update)
+                else ChoiceMap.empty()
+            )
+            return new_carry, (new_tr, w, out, discard)
+
+        final, (new_inner, ws, outs, discards) = lax.scan(
+            step, init, (jnp.arange(n), xs, trace.inner), length=n
+        )
+        new_trace = ScanTrace(self, new_inner, args, (final, outs), n)
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        if isinstance(request, Update) or (
+            isinstance(request, IndexRequest)
+            and isinstance(request.subrequest, Update)
+        ):
+            bwd: EditRequest = Update(Indexed(discards, jnp.arange(n)))
+        elif isinstance(request, Regenerate):
+            bwd = Regenerate(request.selection)
+        else:
+            bwd = request
+        return new_trace, jnp.sum(ws), retdiff, bwd
+
+
+def scan(*, n: int | None = None) -> Callable:
+    """Decorator: ``@scan(n=10)`` over a ``(carry, x) -> (carry, out)``
+    gen fn. Parity: reference ``scan.py:672-760``."""
+
+    def decorator(gen_fn: GenerativeFunction) -> Scan:
+        return Scan(gen_fn, n)
+
+    return decorator
+
+
+# ---------------------------------------------------------------------------
+# Derived combinators (parity: reference scan.py:762-1150)
+# ---------------------------------------------------------------------------
+
+
+def prepend_initial_acc(args, ret):
+    """Concatenate the initial accumulator onto the stacked outputs.
+
+    Parity: reference ``scan.py:762-789``."""
+    init_acc = args[0]
+    all_accs = ret
+
+    def cat(init, accs):
+        return jnp.concatenate([jnp.asarray(init)[None], accs], axis=0)
+
+    return jtu.tree_map(cat, init_acc, all_accs)
+
+
+def accumulate() -> Callable:
+    """``(acc, x) -> acc`` gen fn  ⇒  ``(init, xs) -> [init, acc1, ...]``
+    (like ``jax.lax.associative_scan`` outputs, all intermediate accs).
+
+    Parity: reference ``scan.py:791-852``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.map(lambda acc: (acc, acc))
+            .scan()
+            .dimap(
+                pre=lambda *args: args,
+                post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+            )
+        )
+
+    return decorator
+
+
+def reduce() -> Callable:
+    """``(acc, x) -> acc`` gen fn  ⇒  ``(init, xs) -> final_acc``.
+
+    Parity: reference ``scan.py:854-914``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.map(lambda acc: (acc, None))
+            .scan()
+            .map(lambda ret: ret[0])
+        )
+
+    return decorator
+
+
+def iterate(*, n: int) -> Callable:
+    """``x -> x`` gen fn  ⇒  ``x -> [x, f(x), f²(x), ...]`` (n+1 values).
+
+    Parity: reference ``scan.py:916-978``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.dimap(
+                pre=lambda carry, _: (carry,),
+                post=lambda args, ret: (ret, ret),
+            )
+            .scan(n=n)
+            .dimap(
+                pre=lambda x: (x, None),
+                post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+            )
+        )
+
+    return decorator
+
+
+def iterate_final(*, n: int) -> Callable:
+    """``x -> x`` gen fn  ⇒  ``x -> fⁿ(x)``.
+
+    Parity: reference ``scan.py:980-1048``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.dimap(
+                pre=lambda carry, _: (carry,),
+                post=lambda args, ret: (ret, None),
+            )
+            .scan(n=n)
+            .dimap(pre=lambda x: (x, None), post=lambda args, ret: ret[0])
+        )
+
+    return decorator
+
+
+def masked_iterate() -> Callable:
+    """``x -> x`` gen fn  ⇒  ``(x, flags) -> [x, ...]`` where lanes with
+    ``flags[i]`` False pass the carry through unchanged (masked step).
+
+    Parity: reference ``scan.py:1050-1099``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        from genjax_tpu.lang.combinators.mask import MaskCombinator
+
+        masked = MaskCombinator(gen_fn)
+
+        def pre(carry, flag):
+            return (flag, carry)
+
+        def post(args, masked_ret):
+            (carry, flag) = args
+            new = masked_ret.unmask(default=carry)
+            return (new, new)
+
+        step = masked.dimap(pre=pre, post=post)
+        return step.scan().dimap(
+            pre=lambda x, flags: (x, flags),
+            post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+        )
+
+    return decorator
+
+
+def masked_iterate_final() -> Callable:
+    """Like :func:`masked_iterate` but returning only the final value.
+
+    Parity: reference ``scan.py:1101-1150``."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        from genjax_tpu.lang.combinators.mask import MaskCombinator
+
+        masked = MaskCombinator(gen_fn)
+
+        def pre(carry, flag):
+            return (flag, carry)
+
+        def post(args, masked_ret):
+            (carry, flag) = args
+            new = masked_ret.unmask(default=carry)
+            return (new, None)
+
+        step = masked.dimap(pre=pre, post=post)
+        return step.scan().dimap(
+            pre=lambda x, flags: (x, flags),
+            post=lambda args, ret: ret[0],
+        )
+
+    return decorator

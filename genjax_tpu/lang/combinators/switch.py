@@ -1,0 +1,168 @@
+"""``Switch`` combinator: branch selection with existence uncertainty.
+All branches are traced (shape placeholders for untaken ones) via
+``multi_switch``/``lax.switch``; retval and score are selected with
+``tree_choose`` — dense branch evaluation, the TPU-friendly analogue of
+routing (SURVEY §2.3: no expert parallelism needed).
+
+Parity target: ``/root/reference/src/genjax/_src/generative_functions/
+combinators/switch.py`` (``SwitchTrace`` :51, ``Switch`` :97, args
+convention ``(idx, branch1_args, branch2_args, ...)``, ``switch`` :311).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.compiler.staging import multi_switch, tree_choose
+from genjax_tpu.core.compiler.interpreters.incremental import Diff
+from genjax_tpu.gfi.choice_map import ChoiceMap
+from genjax_tpu.gfi.concepts import Argdiffs, EditRequest, Score, Weight
+from genjax_tpu.gfi.gfn import GenerativeFunction, Trace
+from genjax_tpu.gfi.requests import Regenerate, Update
+from genjax_tpu.gfi.selection import Selection
+
+__all__ = ["Switch", "SwitchTrace", "switch"]
+
+
+@Pytree.dataclass
+class SwitchTrace(Trace[Any]):
+    """All-branch subtraces (taken branch real, others zero placeholders);
+    retval/score pre-selected. Parity: reference ``switch.py:51-90``."""
+
+    gen_fn: "Switch"
+    args: tuple
+    subtraces: tuple
+    retval: Any
+    score: Score
+
+    def get_idx(self):
+        return self.args[0]
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self):
+        return self.retval
+
+    def get_score(self) -> Score:
+        return self.score
+
+    def get_gen_fn(self):
+        return self.gen_fn
+
+    def get_choices(self) -> ChoiceMap:
+        return ChoiceMap.switch(
+            self.get_idx(), [tr.get_choices() for tr in self.subtraces]
+        )
+
+    def get_inner_trace(self, address):
+        idx = self.get_idx()
+        if isinstance(idx, int):
+            return self.subtraces[idx].get_inner_trace(address)
+        raise NotImplementedError(
+            "get_inner_trace on a Switch with traced index"
+        )
+
+
+@Pytree.dataclass
+class Switch(GenerativeFunction[Any]):
+    """Args: ``(idx, branch0_args, branch1_args, ...)``; out-of-bounds
+    ``idx`` is clamped."""
+
+    branches: tuple
+
+    def _split_args(self, args):
+        idx, branch_args = args[0], args[1:]
+        assert len(branch_args) == len(self.branches)
+        return idx, branch_args
+
+    def _build(self, args, subtraces):
+        idx, _ = self._split_args(args)
+        retval = tree_choose(idx, [tr.get_retval() for tr in subtraces])
+        score = tree_choose(idx, [tr.get_score() for tr in subtraces])
+        return SwitchTrace(self, args, tuple(subtraces), retval, score)
+
+    def simulate(self, key: jax.Array, args: tuple) -> SwitchTrace:
+        idx, branch_args = self._split_args(args)
+        fs = [b.simulate for b in self.branches]
+        arg_tuples = [(key, a) for a in branch_args]
+        subtraces = multi_switch(idx, fs, arg_tuples)
+        return self._build(args, subtraces)
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        idx, branch_args = self._split_args(args)
+        fs = [b.assess for b in self.branches]
+        arg_tuples = [(chm, a) for a in branch_args]
+        outs = multi_switch(idx, fs, arg_tuples)
+        score = tree_choose(idx, [s for s, _ in outs])
+        retval = tree_choose(idx, [r for _, r in outs])
+        return score, retval
+
+    def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
+        idx, branch_args = self._split_args(args)
+        fs = [b.generate for b in self.branches]
+        arg_tuples = [(key, constraint, a) for a in branch_args]
+        outs = multi_switch(idx, fs, arg_tuples)
+        subtraces = [tr for tr, _ in outs]
+        w = tree_choose(idx, [w for _, w in outs])
+        return self._build(args, subtraces), w
+
+    def project(self, key: jax.Array, trace: SwitchTrace,
+                selection: Selection) -> Weight:
+        idx, _ = self._split_args(trace.get_args())
+        fs = [b.project for b in self.branches]
+        arg_tuples = [(key, tr, selection) for tr in trace.subtraces]
+        outs = multi_switch(idx, fs, arg_tuples)
+        return tree_choose(idx, outs)
+
+    def edit(self, key: jax.Array, trace: SwitchTrace, request: EditRequest,
+             argdiffs: Argdiffs):
+        """Edit with an unchanged branch index (the index-change move of
+        reference ``switch.py:225-303`` — simulate a fresh branch then edit
+        it — is marked by the reference itself as having a known-wrong
+        backward request and is deferred)."""
+        if not isinstance(request, (Update, Regenerate)):
+            raise NotImplementedError(
+                f"Switch does not support {type(request).__name__}"
+            )
+        args = Diff.tree_primal(argdiffs)
+        idx, branch_args = self._split_args(args)
+        tangent = Diff.tree_tangent(argdiffs[1:])
+
+        fs = []
+        for b in self.branches:
+            def f(key, tr, a, _req=request, _tan=tangent):
+                new_tr, w, _rd, bwd = _req.edit(
+                    key, tr, Diff.tree_diff(a, _tan)
+                )
+                disc = (
+                    bwd.constraint if isinstance(bwd, Update)
+                    else ChoiceMap.empty()
+                )
+                return new_tr, w, disc
+            fs.append(f)
+
+        arg_tuples = [
+            (key, tr, a)
+            for tr, a in zip(trace.subtraces, branch_args)
+        ]
+        outs = multi_switch(idx, fs, arg_tuples)
+        subtraces = [tr for tr, _, _ in outs]
+        w = tree_choose(idx, [w for _, w, _ in outs])
+        new_trace = self._build(args, subtraces)
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        if isinstance(request, Update):
+            discard = ChoiceMap.switch(idx, [d for _, _, d in outs])
+            bwd: EditRequest = Update(discard)
+        else:
+            bwd = Regenerate(request.selection)
+        return new_trace, w, retdiff, bwd
+
+
+def switch(*branches: GenerativeFunction) -> Switch:
+    """Parity: reference ``switch.py:311-354``."""
+    return Switch(tuple(branches))

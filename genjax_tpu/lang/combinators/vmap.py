@@ -1,0 +1,239 @@
+"""``Vmap`` combinator: vectorize a generative function over a leading
+axis — the framework's data-parallel primitive. The vectorized axis is an
+ordinary JAX batch axis, so it nests with outer ``vmap``/``shard_map`` and
+shards over device meshes.
+
+Parity target: ``/root/reference/src/genjax/_src/generative_functions/
+combinators/vmap.py`` (``VmapTrace`` :54, ``Vmap`` :97, per-index constraint
+lookup :193-275, ``edit_index``/IndexRequest :277-332, ``vmap`` decorator
+:384).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.compiler.interpreters.incremental import Diff
+from genjax_tpu.gfi.choice_map import ChoiceMap, Indexed
+from genjax_tpu.gfi.concepts import (
+    Argdiffs,
+    EditRequest,
+    IndexRequest,
+    Score,
+    Weight,
+)
+from genjax_tpu.gfi.gfn import GenerativeFunction, Trace
+from genjax_tpu.gfi.requests import Regenerate, Update
+from genjax_tpu.gfi.selection import Selection
+
+__all__ = ["Vmap", "VmapTrace", "vmap"]
+
+
+def _axis_size(in_axes, args, axis_size):
+    """Infer the mapped-axis length from args/in_axes (static)."""
+    if axis_size is not None:
+        return axis_size
+    if in_axes is None:
+        raise ValueError("Vmap with in_axes=None requires axis_size.")
+    # Find the first mapped argument and read its leading dim.
+    axes = in_axes if isinstance(in_axes, tuple) else (in_axes,) * len(args)
+    for ax, arg in zip(axes, args):
+        if ax is None:
+            continue
+        leaves = jtu.tree_leaves(arg)
+        if leaves:
+            return jnp.shape(leaves[0])[ax]
+    raise ValueError("Could not infer Vmap axis size; pass axis_size.")
+
+
+@Pytree.dataclass
+class VmapTrace(Trace[Any]):
+    """Batched inner traces (leading axis = the vmapped axis); score is the
+    sum of lane scores. Parity: reference ``vmap.py:54-95``."""
+
+    gen_fn: "Vmap"
+    inner: Trace
+    args: tuple
+    n: int = Pytree.static()
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self):
+        return self.inner.get_retval()
+
+    def get_gen_fn(self):
+        return self.gen_fn
+
+    def get_score(self) -> Score:
+        return jnp.sum(self.inner.get_score())
+
+    def get_choices(self) -> ChoiceMap:
+        return Indexed(self.inner.get_choices(), jnp.arange(self.n))
+
+    def get_inner_trace(self, address):
+        return jtu.tree_map(lambda v: v[address], self.inner)
+
+
+@Pytree.dataclass
+class Vmap(GenerativeFunction[Any]):
+    """``Vmap(inner, in_axes)``: one independent draw of ``inner`` per lane.
+
+    Choices live under integer lane addresses: ``chm[i, "x"]``."""
+
+    inner: GenerativeFunction[Any]
+    in_axes: Any = Pytree.static(default=0)
+    axis_size: int | None = Pytree.static(default=None)
+
+    def _n(self, args) -> int:
+        return _axis_size(self.in_axes, args, self.axis_size)
+
+    def _in_axes(self, args):
+        ia = self.in_axes
+        return ia if isinstance(ia, tuple) else (ia,) * len(args)
+
+    def _keys(self, key, n):
+        return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+
+    def simulate(self, key: jax.Array, args: tuple) -> VmapTrace:
+        n = self._n(args)
+        keys = self._keys(key, n)
+        inner_tr = jax.vmap(
+            self.inner.simulate, in_axes=(0, self._in_axes(args))
+        )(keys, args)
+        return VmapTrace(self, inner_tr, args, n)
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        n = self._n(args)
+
+        def per_lane(i, args):
+            sub = chm.get_submap(i)
+            return self.inner.assess(sub, args)
+
+        scores, retvals = jax.vmap(
+            per_lane, in_axes=(0, self._in_axes(args))
+        )(jnp.arange(n), args)
+        return jnp.sum(scores), retvals
+
+    def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
+        n = self._n(args)
+        keys = self._keys(key, n)
+
+        def per_lane(key, i, args):
+            sub = constraint.get_submap(i)
+            return self.inner.generate(key, sub, args)
+
+        inner_tr, ws = jax.vmap(
+            per_lane, in_axes=(0, 0, self._in_axes(args))
+        )(keys, jnp.arange(n), args)
+        return VmapTrace(self, inner_tr, args, n), jnp.sum(ws)
+
+    def project(self, key: jax.Array, trace: VmapTrace,
+                selection: Selection) -> Weight:
+        n = trace.n
+
+        def per_lane(key, i, inner_tr):
+            subsel = selection(i)
+            return self.inner.project(key, inner_tr, subsel)
+
+        keys = self._keys(key, n)
+        ws = jax.vmap(per_lane, in_axes=(0, 0, 0))(
+            keys, jnp.arange(n), trace.inner
+        )
+        return jnp.sum(ws)
+
+    def edit(self, key: jax.Array, trace: VmapTrace, request: EditRequest,
+             argdiffs: Argdiffs):
+        args = Diff.tree_primal(argdiffs)
+        args_unchanged = Diff.static_check_no_change(argdiffs)
+        n = self._n(args)
+        keys = self._keys(key, n)
+
+        if isinstance(request, IndexRequest):
+            return self._edit_index(keys, trace, request, args,
+                                    args_unchanged)
+
+        if isinstance(request, Update):
+            def per_lane(key, i, inner_tr, args):
+                sub = request.constraint.get_submap(i)
+                lane_diffs = (
+                    Diff.no_change(args) if args_unchanged
+                    else Diff.unknown_change(args)
+                )
+                new_tr, w, _rd, bwd = self.inner.edit(
+                    key, inner_tr, Update(sub), lane_diffs
+                )
+                discard = bwd.constraint if isinstance(bwd, Update) \
+                    else ChoiceMap.empty()
+                # Flatten the per-lane discard to a dense batched map via
+                # choices (lane structure is uniform).
+                return new_tr, w, discard
+        elif isinstance(request, Regenerate):
+            def per_lane(key, i, inner_tr, args):
+                subsel = request.selection(i)
+                lane_diffs = (
+                    Diff.no_change(args) if args_unchanged
+                    else Diff.unknown_change(args)
+                )
+                new_tr, w, _rd, _bwd = self.inner.edit(
+                    key, inner_tr, Regenerate(subsel), lane_diffs
+                )
+                return new_tr, w, ChoiceMap.empty()
+        else:
+            raise NotImplementedError(
+                f"Vmap does not support {type(request).__name__}"
+            )
+
+        new_inner, ws, discards = jax.vmap(
+            per_lane, in_axes=(0, 0, 0, self._in_axes(args))
+        )(keys, jnp.arange(n), trace.inner, args)
+        new_trace = VmapTrace(self, new_inner, args, n)
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        if isinstance(request, Update):
+            bwd = Update(Indexed(discards, jnp.arange(n)))
+        else:
+            bwd = Regenerate(request.selection)
+        w = jnp.sum(ws)
+        return new_trace, w, retdiff, bwd
+
+    def _edit_index(self, keys, trace: VmapTrace, request: IndexRequest,
+                    args, args_unchanged: bool):
+        """Edit one lane: slice it out, apply the subrequest, scatter back.
+
+        Parity: reference ``vmap.py:277-332``."""
+        idx = jnp.asarray(request.idx)
+        lane = jtu.tree_map(lambda v: v[idx], trace.inner)
+        lane_args = tuple(
+            jtu.tree_map(lambda v: v[idx], a) if ax is not None else a
+            for ax, a in zip(self._in_axes(args), args)
+        )
+        lane_diffs = (
+            Diff.no_change(lane_args) if args_unchanged
+            else Diff.unknown_change(lane_args)
+        )
+        key = jtu.tree_map(lambda v: v[idx], keys)
+        new_lane, w, _rd, bwd = request.subrequest.edit(
+            key, lane, lane_diffs
+        )
+        new_inner = jtu.tree_map(
+            lambda batched, v: batched.at[idx].set(v), trace.inner, new_lane
+        )
+        new_trace = VmapTrace(self, new_inner, args, trace.n)
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        return new_trace, w, retdiff, IndexRequest(idx, bwd)
+
+
+def vmap(*, in_axes=0, axis_size=None) -> Callable:
+    """Decorator: ``gf.vmap(...)`` in combinator form.
+
+    Parity: reference ``vmap.py:384-420``."""
+
+    def decorator(gen_fn: GenerativeFunction) -> Vmap:
+        return Vmap(gen_fn, in_axes, axis_size)
+
+    return decorator

@@ -143,8 +143,21 @@ class TestIndexed:
             jnp.arange(5) * 2, jnp.arange(5.0)
         )
         sub = vec_chm.get_submap("x", 3).get_value()  # odd idx: missing
-        flag = Mask.build(sub).primal_flag()
-        assert not bool(jnp.all(jnp.asarray(flag)))
+        # Concrete lookups fold the miss to a static absence (None); traced
+        # lookups yield a False-flagged Mask. Both mean "missing".
+        if sub is not None:
+            flag = Mask.build(sub).primal_flag()
+            assert not bool(jnp.all(jnp.asarray(flag)))
+
+        # Under jit the lookup is traced: must be a masked-out value.
+        @jax.jit
+        def lookup(chm, i):
+            v = chm.get_submap("x", i).get_value()
+            m = Mask.build(v)
+            return m.primal_flag()
+
+        assert not bool(lookup(vec_chm, 3))
+        assert bool(lookup(vec_chm, 4))
 
 
 class TestJitCompat:

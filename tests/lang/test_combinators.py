@@ -1,0 +1,384 @@
+"""Per-combinator GFI contract tests. Mirrors the reference's combinator
+test files (``tests/generative_functions/test_{vmap,scan,switch,mask,dimap,
+or_else,repeat,mix}_combinator.py`` — SURVEY §4.2): score/weight identities,
+choice-map addressing, update weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.stats as jss
+import numpy as np
+import pytest
+
+import genjax_tpu as g
+
+KEY = jax.random.key(314159)
+
+
+@g.gen
+def kernel(mu):
+    x = g.normal(mu, 1.0) @ "x"
+    return x
+
+
+class TestVmap:
+    def test_simulate_score_is_sum(self):
+        vm = kernel.vmap(in_axes=0)
+        mus = jnp.arange(4.0)
+        tr = vm.simulate(KEY, (mus,))
+        chm = tr.get_choices()
+        xs = jnp.stack([chm[i, "x"] for i in range(4)])
+        want = jnp.sum(jss.norm.logpdf(xs, mus, 1.0))
+        assert jnp.allclose(tr.get_score(), want)
+
+    def test_assess_matches(self):
+        vm = kernel.vmap(in_axes=0)
+        mus = jnp.arange(4.0)
+        tr = vm.simulate(KEY, (mus,))
+        score, ret = vm.assess(tr.get_choices(), (mus,))
+        assert jnp.allclose(score, tr.get_score())
+        assert jnp.allclose(ret, tr.get_retval())
+
+    def test_generate_partial_constraint(self):
+        vm = kernel.vmap(in_axes=0)
+        mus = jnp.zeros(4)
+        constraint = g.C[2, "x"].set(1.5)
+        tr, w = vm.generate(KEY, constraint, (mus,))
+        assert jnp.allclose(tr.get_choices()[2, "x"], 1.5)
+        assert jnp.allclose(w, jss.norm.logpdf(1.5, 0.0, 1.0))
+
+    def test_update(self):
+        vm = kernel.vmap(in_axes=0)
+        mus = jnp.zeros(4)
+        tr = vm.simulate(KEY, (mus,))
+        new_tr, w, _, _ = tr.update(jax.random.key(1), g.C[1, "x"].set(0.0))
+        assert jnp.allclose(new_tr.get_choices()[1, "x"], 0.0)
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+    def test_index_request(self):
+        vm = kernel.vmap(in_axes=0)
+        mus = jnp.zeros(4)
+        tr = vm.simulate(KEY, (mus,))
+        req = g.IndexRequest(1, g.Update(g.C["x"].set(2.0)))
+        new_tr, w, _, bwd = tr.edit(jax.random.key(1), req)
+        assert jnp.allclose(new_tr.get_choices()[1, "x"], 2.0)
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+    def test_vmap_sliced_choices(self):
+        vm = kernel.vmap(in_axes=0)
+        tr = vm.simulate(KEY, (jnp.zeros(8),))
+        sub = tr.get_choices().get_submap(3)
+        assert jnp.ndim(sub["x"]) == 0
+
+
+@g.gen
+def walk_step(carry, _):
+    prev = carry
+    x = g.normal(prev, 1.0) @ "x"
+    return x, prev
+
+
+class TestScan:
+    def test_simulate_markov_score(self):
+        sc = walk_step.scan(n=5)
+        tr = sc.simulate(KEY, (0.0, None))
+        chm = tr.get_choices()
+        xs = jnp.stack([chm[i, "x"] for i in range(5)])
+        prevs = jnp.concatenate([jnp.zeros(1), xs[:-1]])
+        want = jnp.sum(jss.norm.logpdf(xs, prevs, 1.0))
+        assert jnp.allclose(tr.get_score(), want, atol=1e-5)
+        final, outs = tr.get_retval()
+        assert jnp.allclose(final, xs[-1])
+
+    def test_assess_matches(self):
+        sc = walk_step.scan(n=5)
+        tr = sc.simulate(KEY, (0.0, None))
+        score, ret = sc.assess(tr.get_choices(), (0.0, None))
+        assert jnp.allclose(score, tr.get_score(), atol=1e-5)
+
+    def test_generate_with_observations(self):
+        sc = walk_step.scan(n=3)
+        constraint = g.C[1, "x"].set(0.5)
+        tr, w = sc.generate(KEY, constraint, (0.0, None))
+        chm = tr.get_choices()
+        assert jnp.allclose(chm[1, "x"], 0.5)
+        assert jnp.allclose(
+            w, jss.norm.logpdf(0.5, chm[0, "x"], 1.0), atol=1e-6
+        )
+
+    def test_update_weight_identity(self):
+        sc = walk_step.scan(n=4)
+        tr = sc.simulate(KEY, (0.0, None))
+        new_tr, w, _, _ = tr.update(jax.random.key(1), g.C[0, "x"].set(0.3))
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+        assert jnp.allclose(new_tr.get_choices()[0, "x"], 0.3)
+        # retained downstream choices:
+        assert jnp.allclose(
+            new_tr.get_choices()[2, "x"], tr.get_choices()[2, "x"]
+        )
+
+    def test_scanned_inputs(self):
+        @g.gen
+        def step(carry, x):
+            y = g.normal(carry + x, 1.0) @ "y"
+            return y, y
+
+        sc = step.scan()
+        xs = jnp.arange(3.0)
+        tr = sc.simulate(KEY, (0.0, xs))
+        assert tr.get_retval()[1].shape == (3,)
+
+
+class TestSwitch:
+    def test_simulate_and_score(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x0"
+
+        @g.gen
+        def b1():
+            return g.normal(10.0, 1.0) @ "x1"
+
+        sw = g.switch(b0, b1)
+        tr0 = sw.simulate(KEY, (0, (), ()))
+        tr1 = sw.simulate(KEY, (1, (), ()))
+        assert tr0.get_retval() < 5.0 < tr1.get_retval()
+        assert jnp.allclose(
+            tr0.get_score(),
+            jss.norm.logpdf(tr0.get_choices()["x0"], 0.0, 1.0),
+        )
+
+    def test_traced_index(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x0"
+
+        @g.gen
+        def b1():
+            return g.normal(10.0, 1.0) @ "x1"
+
+        sw = g.switch(b0, b1)
+        tr = jax.jit(sw.simulate)(KEY, (jnp.asarray(1), (), ()))
+        v = tr.get_choices()["x1"]
+        v = v.unmask() if isinstance(v, g.Mask) else v
+        assert v > 5.0
+
+    def test_assess_generate(self):
+        @g.gen
+        def b0():
+            return g.flip(0.2) @ "h"
+
+        @g.gen
+        def b1():
+            return g.flip(0.9) @ "h"
+
+        sw = g.switch(b0, b1)
+        score, _ = sw.assess(g.C["h"].set(True), (0, (), ()))
+        assert jnp.allclose(score, jnp.log(0.2))
+        score1, _ = sw.assess(g.C["h"].set(True), (jnp.asarray(1), (), ()))
+        assert jnp.allclose(score1, jnp.log(0.9))
+        tr, w = sw.generate(KEY, g.C["h"].set(True), (1, (), ()))
+        assert jnp.allclose(w, jnp.log(0.9))
+
+    def test_update(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def b1():
+            return g.normal(5.0, 2.0) @ "x"
+
+        sw = g.switch(b0, b1)
+        tr = sw.simulate(KEY, (0, (), ()))
+        new_tr, w, _, _ = tr.update(jax.random.key(1), g.C["x"].set(0.7))
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+
+class TestMaskCombinator:
+    def test_simulate_true_false(self):
+        m = kernel.mask()
+        tr_t = m.simulate(KEY, (True, 0.0))
+        tr_f = m.simulate(KEY, (False, 0.0))
+        assert jnp.allclose(
+            tr_t.get_score(),
+            jss.norm.logpdf(tr_t.get_retval().unmask(), 0.0, 1.0),
+        )
+        assert jnp.allclose(tr_f.get_score(), 0.0)
+
+    def test_traced_flag(self):
+        m = kernel.mask()
+        tr = jax.jit(m.simulate)(KEY, (jnp.asarray(False), 0.0))
+        assert jnp.allclose(tr.get_score(), 0.0)
+
+    def test_edit_weight_table(self):
+        m = kernel.mask()
+        tr = m.simulate(KEY, (True, 0.0))
+        inner_score = kernel.simulate(KEY, (0.0,)).get_score()
+        # T -> F: weight = -inner score
+        new_tr, w, _, _ = tr.update(
+            jax.random.key(1),
+            g.ChoiceMap.empty(),
+            (g.Diff(False, g.UnknownChange), g.Diff(0.0, g.NoChange)),
+        )
+        assert jnp.allclose(w, -tr.get_score(), atol=1e-6)
+        assert jnp.allclose(new_tr.get_score(), 0.0)
+        # F -> T: weight = +new score
+        tr_f = m.simulate(KEY, (False, 0.0))
+        new_tr2, w2, _, _ = tr_f.update(
+            jax.random.key(2),
+            g.ChoiceMap.empty(),
+            (g.Diff(True, g.UnknownChange), g.Diff(0.0, g.NoChange)),
+        )
+        assert jnp.allclose(w2, new_tr2.get_score(), atol=1e-6)
+
+
+class TestDimap:
+    def test_dimap_roundtrip(self):
+        d = kernel.dimap(
+            pre=lambda a, b: (a + b,), post=lambda args, r: r * 2.0
+        )
+        tr = d.simulate(KEY, (1.0, 2.0))
+        inner = kernel.simulate(KEY, (3.0,))
+        assert jnp.allclose(tr.get_retval(), inner.get_retval() * 2.0)
+        assert jnp.allclose(tr.get_score(), inner.get_score())
+
+    def test_map_contramap(self):
+        mp = kernel.map(lambda r: r + 100.0)
+        tr = mp.simulate(KEY, (0.0,))
+        assert tr.get_retval() > 50.0
+        cm = kernel.contramap(lambda a: (a * 0.0,))
+        tr2 = cm.simulate(KEY, (123.0,))
+        assert jnp.abs(tr2.get_retval()) < 10.0
+
+    def test_dimap_update_weight(self):
+        d = kernel.dimap(pre=lambda a: (a * 2.0,))
+        tr = d.simulate(KEY, (0.5,))
+        new_tr, w, _, _ = tr.update(jax.random.key(1), g.C["x"].set(0.0))
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-6
+        )
+
+
+class TestOrElse:
+    def test_or_else(self):
+        @g.gen
+        def if_fn():
+            return g.normal(0.0, 1.0) @ "a"
+
+        @g.gen
+        def else_fn():
+            return g.normal(100.0, 1.0) @ "b"
+
+        oe = if_fn.or_else(else_fn)
+        tr_t = oe.simulate(KEY, (True, (), ()))
+        tr_f = oe.simulate(KEY, (False, (), ()))
+        assert tr_t.get_retval() < 50.0 < tr_f.get_retval()
+
+
+class TestRepeat:
+    def test_repeat(self):
+        r = kernel.repeat(n=6)
+        tr = r.simulate(KEY, (0.0,))
+        chm = tr.get_choices()
+        xs = jnp.stack([chm[i, "x"] for i in range(6)])
+        assert len(np.unique(np.asarray(xs))) == 6
+        want = jnp.sum(jss.norm.logpdf(xs, 0.0, 1.0))
+        assert jnp.allclose(tr.get_score(), want, atol=1e-5)
+
+
+class TestMix:
+    def test_mix_scores(self):
+        @g.gen
+        def c0():
+            return g.normal(-5.0, 1.0) @ "x"
+
+        @g.gen
+        def c1():
+            return g.normal(5.0, 1.0) @ "x"
+
+        m = g.mix(c0, c1)
+        logits = jnp.log(jnp.array([0.5, 0.5]))
+        tr = m.simulate(KEY, (logits, (), ()))
+        comp = tr.get_choices()["mixture_component"]
+        v = tr.get_choices()["mixture_branch", "x"]
+        if isinstance(v, g.Mask):
+            v = v.unmask()
+        mu = jnp.where(comp == 0, -5.0, 5.0)
+        want = jnp.log(0.5) + jss.norm.logpdf(v, mu, 1.0)
+        assert jnp.allclose(tr.get_score(), want, atol=1e-5)
+
+
+class TestIterateAccumulate:
+    def test_iterate(self):
+        @g.gen
+        def double_step(x):
+            return g.normal(x * 2.0, 1e-6) @ "x"
+
+        it = double_step.iterate(n=3)
+        tr = it.simulate(KEY, (1.0,))
+        ret = tr.get_retval()
+        assert ret.shape == (4,)
+        np.testing.assert_allclose(
+            np.asarray(ret), [1.0, 2.0, 4.0, 8.0], atol=1e-3
+        )
+
+    def test_iterate_final(self):
+        @g.gen
+        def inc(x):
+            return g.normal(x + 1.0, 1e-6) @ "x"
+
+        itf = inc.iterate_final(n=5)
+        tr = itf.simulate(KEY, (0.0,))
+        assert jnp.allclose(tr.get_retval(), 5.0, atol=1e-3)
+
+    def test_accumulate(self):
+        @g.gen
+        def add(acc, x):
+            return g.normal(acc + x, 1e-6) @ "s"
+
+        acc = add.accumulate()
+        xs = jnp.ones(4)
+        tr = acc.simulate(KEY, (0.0, xs))
+        np.testing.assert_allclose(
+            np.asarray(tr.get_retval()), [0, 1, 2, 3, 4], atol=1e-3
+        )
+
+    def test_reduce(self):
+        @g.gen
+        def add(acc, x):
+            return g.normal(acc + x, 1e-6) @ "s"
+
+        red = add.reduce()
+        tr = red.simulate(KEY, (0.0, jnp.arange(4.0)))
+        assert jnp.allclose(tr.get_retval(), 6.0, atol=1e-3)
+
+    def test_masked_iterate_final(self):
+        @g.gen
+        def inc(x):
+            return g.normal(x + 1.0, 1e-6) @ "x"
+
+        mit = inc.masked_iterate_final()
+        flags = jnp.array([True, False, True, True, False])
+        tr = mit.simulate(KEY, (0.0, flags))
+        assert jnp.allclose(tr.get_retval(), 3.0, atol=1e-3)
+
+    def test_masked_iterate(self):
+        @g.gen
+        def inc(x):
+            return g.normal(x + 1.0, 1e-6) @ "x"
+
+        mit = inc.masked_iterate()
+        flags = jnp.array([True, False, True])
+        tr = mit.simulate(KEY, (0.0, flags))
+        np.testing.assert_allclose(
+            np.asarray(tr.get_retval()), [0, 1, 1, 2], atol=1e-3
+        )
