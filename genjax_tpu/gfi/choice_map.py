@@ -252,6 +252,15 @@ class Choice(ChoiceMap):
     def get_inner_map(self, comp) -> ChoiceMap:
         return Empty()
 
+    def filter(self, selection) -> ChoiceMap:
+        if not isinstance(selection, Selection):
+            selection = AllSel().mask(selection)
+        flag = selection.check()
+        out = Mask.maybe_mask(self.v, flag)
+        if out is None:
+            return Empty()
+        return Choice(out)
+
 
 @Pytree.dataclass
 class Static(ChoiceMap):
@@ -280,6 +289,21 @@ class Static(ChoiceMap):
             if isinstance(k, int):
                 out = out | sub.mask(jnp.asarray(comp) == k)
         return out
+
+    def filter(self, selection) -> ChoiceMap:
+        """Eager filtering: statically-excluded subtrees are pruned from the
+        pytree entirely (so e.g. gradients/momenta built over a filtered
+        choice map only carry selected leaves)."""
+        if not isinstance(selection, Selection):
+            selection = AllSel().mask(selection)
+        kept = {}
+        for k, sub in zip(self.keys, self.submaps):
+            f = sub.filter(selection.get_subselection(k))
+            if not f.static_is_empty():
+                kept[k] = f
+        if not kept:
+            return Empty()
+        return Static.build(kept)
 
     def mapping(self) -> dict:
         return dict(zip(self.keys, self.submaps))
@@ -340,6 +364,15 @@ class Indexed(ChoiceMap):
         found = jnp.any(idx == comp)
         lane = jtu.tree_map(lambda v: v[pos], self.inner)
         return lane.mask(found)
+
+    def filter(self, selection) -> ChoiceMap:
+        if not isinstance(selection, Selection):
+            selection = AllSel().mask(selection)
+        sub = selection.get_subselection(self.idx)
+        filtered = self.inner.filter(sub)
+        if filtered.static_is_empty():
+            return Empty()
+        return Indexed(filtered, self.idx)
 
 
 @Pytree.dataclass

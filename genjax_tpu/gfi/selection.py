@@ -223,8 +223,15 @@ class IdxSel(Selection):
     def get_subselection(self, comp) -> Selection:
         if isinstance(comp, str):
             return NoneSel()
-        hit = jnp.any(jnp.asarray(comp) == self.idx)
-        if static_check_is_concrete(hit):
+        comp_arr = jnp.asarray(comp)
+        idx = jnp.asarray(self.idx)
+        # Per-lane membership: preserves comp's shape so array lookups
+        # (e.g. filtering an Indexed node lane-wise) get lane-wise flags.
+        if idx.ndim == 0:
+            hit = comp_arr == idx
+        else:
+            hit = jnp.any(comp_arr[..., None] == idx, axis=-1)
+        if static_check_is_concrete(hit) and hit.ndim == 0:
             return self.inner.mask(bool(hit))
         return self.inner.mask(hit)
 

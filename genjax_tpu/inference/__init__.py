@@ -8,6 +8,13 @@ from genjax_tpu.inference.sp import (
     Target,
     marginal,
 )
+from genjax_tpu.inference.mcmc import chain, mh, multi_chain
+from genjax_tpu.inference.requests import (
+    HMC,
+    Rejuvenate,
+    SafeHMC,
+    selection_gradient,
+)
 from genjax_tpu.inference.smc import (
     ChangeTarget,
     Importance,
@@ -21,6 +28,13 @@ from genjax_tpu.inference.smc import (
 __all__ = [
     "Algorithm",
     "ChangeTarget",
+    "HMC",
+    "Rejuvenate",
+    "SafeHMC",
+    "chain",
+    "mh",
+    "multi_chain",
+    "selection_gradient",
     "Importance",
     "ImportanceK",
     "Marginal",

@@ -1,0 +1,86 @@
+"""MCMC drivers: Metropolis–Hastings accept/reject over edit requests, and
+jit-friendly chain runners — including vectorized multi-chain execution
+whose chain axis shards over a device mesh.
+
+New scope relative to the reference (which leaves accept/reject to user
+code in its tests, ``tests/inference/test_requests.py:120-193``): here the
+accept step, chain loop, and cross-chain summaries are library primitives,
+because TPU-scale MCMC wants the whole chain inside one ``lax.scan`` and
+many chains inside one ``vmap``/``shard_map``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import lax
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.gfi.concepts import EditRequest
+from genjax_tpu.gfi.gfn import Trace
+
+__all__ = ["mh", "chain", "multi_chain"]
+
+
+def mh(key: jax.Array, trace: Trace[Any],
+       request: EditRequest) -> tuple[Trace[Any], jax.Array]:
+    """One Metropolis–Hastings step: apply ``request`` as the proposal, and
+    accept with probability ``min(1, exp(weight))`` (the edit weight IS the
+    log acceptance ratio for weight-antisymmetric requests like
+    ``Regenerate``/``Rejuvenate``/``HMC``). Returns ``(trace, accepted)``.
+    """
+    key, accept_key = jax.random.split(key)
+    new_trace, w, _rd, _bwd = trace.edit(key, request)
+    log_u = jnp.log(jax.random.uniform(accept_key, ()))
+    accept = log_u < w
+    out = jtu.tree_map(
+        lambda new, old: jnp.where(accept, new, old), new_trace, trace
+    )
+    return out, accept
+
+
+def chain(kernel: Callable[[jax.Array, Trace[Any]],
+                           tuple[Trace[Any], Any]]):
+    """Lift a trace kernel ``(key, trace) -> (trace, aux)`` into a chain
+    runner ``(key, trace, n_steps) -> (final_trace, stacked_aux)`` running
+    entirely inside one ``lax.scan``."""
+
+    def run(key: jax.Array, trace: Trace[Any], *, n_steps: int,
+            burn_in: int = 0, collect: Callable[[Trace[Any]], Any]
+            | None = None):
+        def step(tr, i):
+            step_key = jax.random.fold_in(key, i)
+            new_tr, aux = kernel(step_key, tr)
+            out = collect(new_tr) if collect is not None else aux
+            return new_tr, out
+
+        final, outs = lax.scan(step, trace, jnp.arange(n_steps))
+        if burn_in:
+            outs = jtu.tree_map(lambda v: v[burn_in:], outs)
+        return final, outs
+
+    return run
+
+
+def multi_chain(kernel, n_chains: int):
+    """Vectorize a chain runner over ``n_chains`` independent chains (the
+    chain axis is a plain vmap axis — shardable over a mesh)."""
+    runner = chain(kernel)
+
+    def run(key: jax.Array, trace_init_fn, *, n_steps: int,
+            burn_in: int = 0, collect=None):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_chains)
+        )
+        init_traces = jax.vmap(trace_init_fn)(keys)
+
+        def one(key, tr):
+            return runner(jax.random.fold_in(key, -1), tr, n_steps=n_steps,
+                          burn_in=burn_in, collect=collect)
+
+        return jax.vmap(one)(keys, init_traces)
+
+    return run
