@@ -1,0 +1,418 @@
+"""ADEV: automatic differentiation of expected values (Lew et al. 2023).
+
+A CPS-transforming forward-mode interpreter: walking the staged jaxpr of a
+probabilistic loss program, each ``sample_p`` site hands its gradient
+strategy a *pure* and a *dual* continuation over the remainder of the
+program; strategies (REINFORCE, enumeration, reparameterization, MVD)
+combine continuation values into unbiased derivative estimates.
+``Expectation.grad_estimate`` exposes the estimator through ``jax.grad`` via
+a ``custom_jvp`` hook, so ADEV programs compose with the rest of JAX
+(including ``jit``/``vmap``/meshes).
+
+Parity target: ``/root/reference/src/genjax/_src/adev/core.py``
+(``ADEVPrimitive`` :56, ``sample_p`` :140-155, ``Dual`` :171-232,
+interpreter :250-430, ``ADEVProgram`` :438, ``Expectation`` :465,
+``expectation`` :493, custom-JVP hook :505-519). Extension beyond the
+reference: sample-free call primitives (``pjit``, ``custom_jvp_call``,
+``scan`` …) take a generic ``jax.jvp`` fallback, so ordinary JAX library
+code works inside ADEV programs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.interpreters import ad as jax_ad
+
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.compiler.staging import stage
+from genjax_tpu.core.compiler.initial_style_primitive import (
+    InitialStylePrimitive,
+    initial_style_bind,
+)
+from genjax_tpu.core.compiler.interpreters.environment import Environment
+
+__all__ = [
+    "ADEVPrimitive",
+    "Dual",
+    "ADEVProgram",
+    "Expectation",
+    "expectation",
+    "sample_primitive",
+    "sample_p",
+]
+
+
+class ADEVPrimitive(Pytree):
+    """A sampler + JVP gradient-estimation strategy.
+
+    Parity: reference ``adev/core.py:56-84``."""
+
+    def sample(self, key: jax.Array, *args) -> Any:
+        raise NotImplementedError
+
+    def jvp_estimate(
+        self,
+        key: jax.Array,
+        dual_args: tuple,
+        konts: tuple[Callable, Callable],
+    ) -> "Dual":
+        """``dual_args``: tuple of Dual-leaf pytrees; ``konts`` =
+        ``(kpure, kdual)`` continuations over the program remainder."""
+        raise NotImplementedError
+
+    def __call__(self, *args):
+        return sample_primitive(self, *args)
+
+
+sample_p = InitialStylePrimitive("adev_sample")
+
+
+def sample_primitive(adev_prim: ADEVPrimitive, *args,
+                     key: jax.Array | None = None):
+    """Bind a sampling site into the program's jaxpr. The key argument only
+    matters when the program is executed outside the ADEV interpreter (e.g.
+    ``Expectation.estimate``); under interpretation the strategy supplies
+    keys. Parity: reference ``adev/core.py:143-155``."""
+    if key is None:
+        key = jax.random.key(0)
+
+    def call(adev_prim, *args):
+        return adev_prim.sample(key, *args)
+
+    return initial_style_bind(sample_p)(call)(adev_prim, *args)
+
+
+@Pytree.dataclass
+class Dual(Pytree):
+    """A forward-mode dual number (pytree node). Parity: reference
+    ``adev/core.py:171-232``."""
+
+    primal: Any
+    tangent: Any
+
+    @staticmethod
+    def tree_pure(v):
+        def mk(x):
+            if isinstance(x, Dual):
+                return x
+            x = jnp.asarray(x)
+            return Dual(x, jnp.zeros_like(x, dtype=_tangent_dtype(x)))
+
+        return jtu.tree_map(mk, v, is_leaf=lambda x: isinstance(x, Dual))
+
+    @staticmethod
+    def dual_tree(primals, tangents):
+        return jtu.tree_map(Dual, primals, tangents)
+
+    @staticmethod
+    def tree_primal(v):
+        return jtu.tree_map(
+            lambda x: x.primal if isinstance(x, Dual) else x,
+            v,
+            is_leaf=lambda x: isinstance(x, Dual),
+        )
+
+    @staticmethod
+    def tree_tangent(v):
+        return jtu.tree_map(
+            lambda x: x.tangent if isinstance(x, Dual) else x,
+            v,
+            is_leaf=lambda x: isinstance(x, Dual),
+        )
+
+    @staticmethod
+    def tree_leaves(v):
+        return jtu.tree_leaves(
+            Dual.tree_pure(v), is_leaf=lambda x: isinstance(x, Dual)
+        )
+
+    @staticmethod
+    def tree_unzip(v):
+        primals = jtu.tree_leaves(Dual.tree_primal(v))
+        tangents = jtu.tree_leaves(Dual.tree_tangent(v))
+        return tuple(primals), tuple(tangents)
+
+
+def _tangent_dtype(x):
+    dt = jnp.asarray(x).dtype
+    return dt if jnp.issubdtype(dt, jnp.floating) else jnp.result_type(float)
+
+
+def _flat_unzip(duals):
+    primals = [d.primal for d in duals]
+    tangents = [d.tangent for d in duals]
+    return primals, tangents
+
+
+def _zeros_tangent(x):
+    x = jnp.asarray(x)
+    return jnp.zeros_like(x, dtype=_tangent_dtype(x))
+
+
+def _contains_sample(jaxpr) -> bool:
+    for eqn in jaxpr.eqns:
+        if eqn.primitive is sample_p:
+            return True
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None and _contains_sample(inner):
+                return True
+            if isinstance(v, (tuple, list)):
+                for b in v:
+                    bj = getattr(b, "jaxpr", None)
+                    if bj is not None and _contains_sample(bj):
+                        return True
+    return False
+
+
+def _env_primal(env: Environment) -> Environment:
+    new = Environment()
+    for count, val in env.env.items():
+        new.env[count] = Dual.tree_primal(val)
+    return new
+
+
+def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
+    """Primal-only evaluation of the remaining equations."""
+    for var, val in zip(invars, flat_args):
+        env[var] = val
+    for eqn in eqns:
+        invals = [env[v] for v in eqn.invars]
+        subfuns, params = eqn.primitive.get_bind_params(eqn.params)
+        if eqn.primitive is sample_p:
+            # Pure continuation samples forward with a fresh key.
+            key, sub_key = jax.random.split(key)
+            in_tree = eqn.params["in_tree"]
+            num_consts = eqn.params["num_consts"]
+            adev_prim, *args = jtu.tree_unflatten(
+                in_tree, invals[num_consts:]
+            )
+            out = adev_prim.sample(sub_key, *args)
+            outs = jtu.tree_leaves(out)
+        else:
+            outs = eqn.primitive.bind(*subfuns, *invals, **params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for var, val in zip(eqn.outvars, outs):
+            env[var] = val
+    return [env[v] for v in outvars]
+
+
+def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
+               outvars) -> Dual:
+    """Dual (CPS) evaluation. Returns the single-output Dual."""
+    for var, val in zip(invars, flat_duals):
+        dual_env[var] = val
+
+    for eqn_idx, eqn in enumerate(eqns):
+        invals = [
+            v if isinstance(v, Dual) else Dual(v, _zeros_tangent(v))
+            for v in (dual_env[var] for var in eqn.invars)
+        ]
+        subfuns, params = eqn.primitive.get_bind_params(eqn.params)
+
+        if eqn.primitive is sample_p:
+            captured_env = dual_env.copy()
+            rest = eqns[eqn_idx + 1:]
+            out_vars = eqn.outvars
+
+            def kpure(key, *args):
+                pure_env = _env_primal(captured_env)
+                outs = _eval_pure(
+                    key, rest, pure_env, out_vars,
+                    jtu.tree_leaves(args), outvars,
+                )
+                (out,) = outs
+                return out
+
+            def kdual(key, dual_tree) -> Dual:
+                dual_leaves = Dual.tree_leaves(dual_tree)
+                return _eval_dual(
+                    key, rest, captured_env.copy(), out_vars, dual_leaves,
+                    outvars,
+                )
+
+            in_tree = eqn.params["in_tree"]
+            num_consts = eqn.params["num_consts"]
+            flat_primals, flat_tangents = _flat_unzip(invals[num_consts:])
+            adev_prim, *primals = jtu.tree_unflatten(in_tree, flat_primals)
+            _, *tangents = jtu.tree_unflatten(in_tree, flat_tangents)
+            dual_args = tuple(Dual.dual_tree(p, t)
+                              for p, t in zip(primals, tangents))
+            return adev_prim.jvp_estimate(key, dual_args, (kpure, kdual))
+
+        elif eqn.primitive is jax.lax.cond_p and any(
+            _contains_sample(br.jaxpr) for br in params["branches"]
+        ):
+            captured_env = dual_env.copy()
+            rest = eqns[eqn_idx + 1:]
+            out_vars = eqn.outvars
+
+            def cond_kont(dual_tree) -> Dual:
+                dual_leaves = Dual.tree_leaves(dual_tree)
+                return _eval_dual(
+                    key, rest, captured_env.copy(), out_vars, dual_leaves,
+                    outvars,
+                )
+
+            branches = params["branches"]
+            branch_fns = [
+                _forward_mode_closed(jax.extend.core.jaxpr_as_fun(br),
+                                     cond_kont)
+                for br in branches
+            ]
+            pred = Dual.tree_primal(invals[0])
+            return jax.lax.switch(
+                pred if not jnp.issubdtype(
+                    jnp.asarray(pred).dtype, jnp.bool_
+                ) else jnp.asarray(pred, jnp.int32),
+                branch_fns,
+                key,
+                invals[1:],
+            )
+
+        else:
+            flat_primals, flat_tangents = _flat_unzip(invals)
+            jvp = jax_ad.primitive_jvps.get(eqn.primitive)
+            if jvp is not None and not subfuns:
+                primal_outs, tangent_outs = jvp(
+                    flat_primals, flat_tangents, **params
+                )
+            else:
+                # Generic fallback: differentiate the (sample-free) call
+                # primitive as a black box.
+                def as_fn(*xs):
+                    outs = eqn.primitive.bind(*subfuns, *xs, **params)
+                    return outs if eqn.primitive.multiple_results else [outs]
+
+                primal_outs, tangent_outs = jax.jvp(
+                    as_fn, tuple(flat_primals), tuple(flat_tangents)
+                )
+            if not eqn.primitive.multiple_results:
+                primal_outs = [primal_outs]
+                tangent_outs = [tangent_outs]
+            for var, p, t in zip(eqn.outvars, primal_outs, tangent_outs):
+                dual_env[var] = Dual(p, t)
+
+    (out,) = (dual_env[v] for v in outvars)
+    if not isinstance(out, Dual):
+        out = Dual(out, _zeros_tangent(out))
+    return out
+
+
+def _forward_mode_closed(f, kont):
+    """ADEV-transform ``f``; returns ``(key, dual_args) -> Dual``-composed
+    with ``kont``."""
+
+    def run(key, dual_tree):
+        primals = Dual.tree_primal(dual_tree)
+        flat_primals = jtu.tree_leaves(primals)
+        closed_jaxpr, _ = stage(lambda *xs: f(*xs))(*flat_primals)
+        jaxpr = closed_jaxpr.jaxpr
+        consts = closed_jaxpr.consts
+        env = Environment()
+        for var, val in zip(jaxpr.constvars, consts):
+            env[var] = Dual(val, _zeros_tangent(val))
+        dual_leaves = Dual.tree_leaves(Dual.tree_pure(dual_tree))
+        out = _eval_dual(
+            key, jaxpr.eqns, env, jaxpr.invars, dual_leaves, jaxpr.outvars
+        )
+        return kont(out)
+
+    return run
+
+
+def forward_mode(f: Callable, kont: Callable = lambda v: v):
+    """ADEV forward-mode transform of ``f``: ``(key, dual_args) -> Dual``.
+
+    Parity: reference ``adev/core.py:400-430``."""
+
+    def run(key, dual_args: tuple):
+        dual_args = jtu.tree_map(
+            lambda v: v if isinstance(v, Dual) else jnp.asarray(v),
+            dual_args,
+            is_leaf=lambda x: isinstance(x, Dual),
+        )
+        primals = Dual.tree_primal(dual_args)
+        closed_jaxpr, (_, out_tree, _) = stage(f)(*primals)
+        jaxpr = closed_jaxpr.jaxpr
+        env = Environment()
+        for var, val in zip(jaxpr.constvars, closed_jaxpr.consts):
+            env[var] = Dual(val, _zeros_tangent(val))
+        dual_leaves = Dual.tree_leaves(Dual.tree_pure(dual_args))
+        out = _eval_dual(
+            key, jaxpr.eqns, env, jaxpr.invars, dual_leaves, jaxpr.outvars
+        )
+        return kont(out)
+
+    return run
+
+
+@Pytree.dataclass
+class ADEVProgram(Pytree):
+    """Parity: reference ``adev/core.py:438-457``."""
+
+    source: Callable = Pytree.static()
+
+    def jvp_estimate(self, key: jax.Array, dual_args: tuple,
+                     dual_kont: Callable) -> Dual:
+        return forward_mode(self.source, dual_kont)(key, dual_args)
+
+
+@Pytree.dataclass
+class Expectation(Pytree):
+    """A program denoting an expected value; ``grad_estimate`` yields
+    unbiased gradient estimates through ``jax.grad``.
+
+    Parity: reference ``adev/core.py:465-496``."""
+
+    prog: ADEVProgram
+
+    def jvp_estimate(self, key: jax.Array, dual_args: tuple) -> Dual:
+        return self.prog.jvp_estimate(key, dual_args, lambda v: v)
+
+    def estimate(self, key: jax.Array, args: tuple):
+        duals = jtu.tree_map(
+            lambda v: Dual(jnp.asarray(v), _zeros_tangent(v)), tuple(args)
+        )
+        return self.jvp_estimate(key, duals).primal
+
+    def grad_estimate(self, key: jax.Array, primals: tuple):
+        def closed(primals):
+            return invoke_closed_over(self, key, primals)
+
+        return jax.grad(closed)(primals)
+
+    def value_and_grad_estimate(self, key: jax.Array, primals: tuple):
+        def closed(primals):
+            return invoke_closed_over(self, key, primals)
+
+        return jax.value_and_grad(closed)(primals)
+
+
+def expectation(source: Callable) -> Expectation:
+    """Decorator: probabilistic loss program → differentiable expectation.
+
+    Parity: reference ``adev/core.py:493-496``."""
+    return Expectation(ADEVProgram(source))
+
+
+@jax.custom_jvp
+def invoke_closed_over(instance, key, args):
+    return instance.estimate(key, args)
+
+
+def invoke_closed_over_jvp(primals: tuple, tangents: tuple):
+    (instance, key, primals_) = primals
+    (_, _, tangents_) = tangents
+    duals = Dual.dual_tree(primals_, tangents_)
+    out_dual = instance.jvp_estimate(key, tuple(duals))
+    (v,), (tangent,) = Dual.tree_unzip(out_dual)
+    return v, tangent
+
+
+invoke_closed_over.defjvp(invoke_closed_over_jvp, symbolic_zeros=False)

@@ -1,0 +1,92 @@
+"""VI end-to-end: ELBO/IWELBO gradient steps converge model/guide
+parameters. Mirrors ``/root/reference/tests/inference/test_vi.py:22-44``
+(200 steps, parameter within 5e-2)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import genjax_tpu as g
+from genjax_tpu.inference import Target, marginal, vi
+
+KEY = jax.random.key(314159)
+
+
+class TestVI:
+    def test_normal_normal_tight_variance(self):
+        @g.gen
+        def model(v):
+            mu = g.normal(0.0, 10.0) @ "mu"
+            _ = g.normal(mu, 0.1) @ "v"
+
+        @marginal()
+        @g.gen
+        def guide(target):
+            (v,) = target.args
+            _ = vi.normal_reparam(v, 0.1) @ "mu"
+
+        elbo_grad = vi.ELBO(
+            guide, lambda v: Target(model, (v,), g.C["v"].set(3.0))
+        )
+        v = 0.1
+        jitted = jax.jit(elbo_grad)
+        for _ in range(200):
+            (v_grad,) = jitted(KEY, (v,))
+            v -= 1e-3 * v_grad
+        assert v == pytest.approx(3.0, 5e-2)
+
+    def test_iwelbo(self):
+        @g.gen
+        def model(v):
+            mu = g.normal(0.0, 10.0) @ "mu"
+            _ = g.normal(mu, 0.1) @ "v"
+
+        @marginal()
+        @g.gen
+        def guide(target):
+            (v,) = target.args
+            _ = vi.normal_reparam(v, 0.1) @ "mu"
+
+        loss_grad = vi.IWELBO(
+            guide, lambda v: Target(model, (v,), g.C["v"].set(3.0)), 4
+        )
+        v = 0.1
+        jitted = jax.jit(loss_grad)
+        for _ in range(200):
+            (v_grad,) = jitted(KEY, (v,))
+            v -= 1e-3 * v_grad
+        assert v == pytest.approx(3.0, 5e-2)
+
+    def test_qwake(self):
+        """Sleep-phase update trains the proposal toward the draws of a
+        fixed posterior approximation. The learnable theta flows through
+        ``target.args`` (the model ignores it)."""
+
+        @g.gen
+        def model(theta):
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "v"
+
+        @marginal()
+        @g.gen
+        def posterior_approx(target):
+            _ = vi.normal_reparam(0.8, 0.4) @ "mu"
+
+        @marginal()
+        @g.gen
+        def proposal(target):
+            (theta,) = target.args
+            _ = vi.normal_reparam(theta, 0.4) @ "mu"
+
+        loss_grad = vi.QWake(
+            proposal,
+            posterior_approx,
+            lambda theta: Target(model, (theta,), g.C["v"].set(1.0)),
+        )
+        theta = jnp.asarray(0.0)
+        jitted = jax.jit(loss_grad)
+        for i in range(250):
+            lr = 0.05 if i < 100 else 0.005
+            (dtheta,) = jitted(jax.random.fold_in(KEY, i), (theta,))
+            theta = theta - lr * dtheta
+        assert jnp.abs(theta - 0.8) < 1e-1
