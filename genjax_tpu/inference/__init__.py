@@ -8,6 +8,11 @@ from genjax_tpu.inference.sp import (
     Target,
     marginal,
 )
+from genjax_tpu.inference import vi
+from genjax_tpu.inference.exact_testbed import (
+    DiscreteHMMInferenceProblem,
+    build_test_against_exact_inference,
+)
 from genjax_tpu.inference.mcmc import chain, mh, multi_chain
 from genjax_tpu.inference.requests import (
     HMC,
@@ -28,7 +33,10 @@ from genjax_tpu.inference.smc import (
 __all__ = [
     "Algorithm",
     "ChangeTarget",
+    "DiscreteHMMInferenceProblem",
     "HMC",
+    "build_test_against_exact_inference",
+    "vi",
     "Rejuvenate",
     "SafeHMC",
     "chain",
