@@ -13,6 +13,8 @@ from genjax_tpu.inference.exact_testbed import (
     DiscreteHMMInferenceProblem,
     build_test_against_exact_inference,
 )
+from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
+from genjax_tpu.inference.diagnostics import ess_autocorr, split_rhat, summarize
 from genjax_tpu.inference.mcmc import chain, mh, multi_chain
 from genjax_tpu.inference.requests import (
     HMC,
@@ -20,6 +22,7 @@ from genjax_tpu.inference.requests import (
     SafeHMC,
     selection_gradient,
 )
+from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
 from genjax_tpu.inference.smc import (
     ChangeTarget,
     Importance,
@@ -35,7 +38,14 @@ __all__ = [
     "ChangeTarget",
     "DiscreteHMMInferenceProblem",
     "HMC",
+    "NUTS",
     "build_test_against_exact_inference",
+    "ess_autocorr",
+    "nuts_kernel",
+    "run_nuts",
+    "split_rhat",
+    "summarize",
+    "warmup_chains",
     "vi",
     "Rejuvenate",
     "SafeHMC",

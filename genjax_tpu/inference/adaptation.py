@@ -1,0 +1,186 @@
+"""Warmup adaptation for HMC/NUTS: dual-averaging step size and diagonal
+mass matrix, with *cross-chain* reductions — all chains contribute to one
+shared (eps, mass) estimate each step, so adaptation information rides the
+mesh collectives when the chain axis is sharded (BASELINE config 2).
+
+New scope relative to the reference (no NUTS / no adaptation there).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from genjax_tpu.gfi.choice_map import ChoiceMap
+from genjax_tpu.inference.requests.nuts import NUTSInfo, nuts_kernel
+from genjax_tpu.inference.sp import Target
+
+__all__ = ["DualAveragingState", "warmup_chains", "run_nuts"]
+
+
+class DualAveragingState(NamedTuple):
+    log_eps: jax.Array
+    log_eps_avg: jax.Array
+    grad_avg: jax.Array
+    t: jax.Array
+    mu: jax.Array
+
+
+def da_init(eps0: float) -> DualAveragingState:
+    log_eps = jnp.log(jnp.asarray(eps0))
+    return DualAveragingState(
+        log_eps, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+        jnp.log(10.0) + log_eps,
+    )
+
+
+def da_update(state: DualAveragingState, accept_prob: jax.Array,
+              target: float = 0.8, gamma: float = 0.05, t0: float = 10.0,
+              kappa: float = 0.75) -> DualAveragingState:
+    t = state.t + 1.0
+    g = target - accept_prob
+    grad_avg = (1.0 - 1.0 / (t + t0)) * state.grad_avg + g / (t + t0)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * grad_avg
+    w = t ** (-kappa)
+    log_eps_avg = w * log_eps + (1.0 - w) * state.log_eps_avg
+    return DualAveragingState(log_eps, log_eps_avg, grad_avg, t, state.mu)
+
+
+class WelfordState(NamedTuple):
+    mean: jax.Array
+    m2: jax.Array
+    count: jax.Array
+
+
+def welford_init(d: int) -> WelfordState:
+    return WelfordState(jnp.zeros(d), jnp.zeros(d), jnp.zeros(()))
+
+
+def welford_update_batch(state: WelfordState, zs: jax.Array) -> WelfordState:
+    """Fold a whole (chains, D) batch in — the cross-chain reduction."""
+    n_b = zs.shape[0]
+    mean_b = jnp.mean(zs, axis=0)
+    m2_b = jnp.sum((zs - mean_b) ** 2, axis=0)
+    n = state.count
+    total = n + n_b
+    delta = mean_b - state.mean
+    mean = state.mean + delta * n_b / total
+    m2 = state.m2 + m2_b + delta**2 * n * n_b / total
+    return WelfordState(mean, m2, total)
+
+
+def welford_variance(state: WelfordState) -> jax.Array:
+    return state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+
+
+def warmup_chains(
+    logdensity_fn: Callable[[jax.Array], jax.Array],
+    z0s: jax.Array,
+    key: jax.Array,
+    num_warmup: int = 500,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    eps0: float = 0.1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Adapt (eps, diag inv mass) across chains. ``z0s``: (chains, D).
+    Returns ``(z_warm, eps, inv_mass)``. Mass estimation uses the second
+    half of warmup; eps adapts every step from the cross-chain mean accept
+    probability."""
+    n_chains, d = z0s.shape
+
+    def one_step(zs, eps, inv_mass, step_key):
+        keys = jax.random.split(step_key, n_chains)
+        z_new, infos = jax.vmap(
+            lambda z, k: nuts_kernel(
+                logdensity_fn, z, k, eps, inv_mass, max_depth
+            )
+        )(zs, keys)
+        return z_new, jnp.mean(infos.accept_prob)
+
+    def body(carry, inp):
+        i, step_key = inp
+        zs, da, wf, inv_mass = carry
+        eps = jnp.exp(da.log_eps)
+        z_new, accept = one_step(zs, eps, inv_mass, step_key)
+        da = da_update(da, accept, target_accept)
+        in_second_half = i >= num_warmup // 2
+        wf_new = welford_update_batch(wf, z_new)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_second_half, a, b), wf_new, wf
+        )
+        # Refresh the mass estimate once mid-way through the second half:
+        # inv_mass (the position-update preconditioner) ≈ posterior var.
+        var = welford_variance(wf)
+        use_var = (i == (3 * num_warmup) // 4) & (wf.count > 10)
+        inv_mass = jnp.where(use_var, jnp.maximum(var, 1e-6), inv_mass)
+        return (z_new, da, wf, inv_mass), accept
+
+    keys = jax.random.split(key, num_warmup)
+    init = (z0s, da_init(eps0), welford_init(d), jnp.ones(d))
+    (zs, da, _wf, inv_mass), _ = lax.scan(
+        body, init, (jnp.arange(num_warmup), keys)
+    )
+    return zs, jnp.exp(da.log_eps_avg), inv_mass
+
+
+def run_nuts(
+    target: Target,
+    key: jax.Array,
+    n_chains: int = 4,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+):
+    """End-to-end NUTS on a :class:`Target`: initialize chains from the
+    prior, warm up (cross-chain adaptation), sample. Returns
+    ``(choices_chm_stacked, infos)`` with leading axes (chains, samples).
+    """
+    k_init, k_warm, k_sample = jax.random.split(key, 3)
+
+    init_keys = jax.random.split(k_init, n_chains)
+    trs, _ = jax.vmap(
+        lambda k: target.importance(k, ChoiceMap.empty())
+    )(init_keys)
+    latents0 = jax.vmap(
+        lambda tr: target.filter_to_unconstrained(tr.get_choices())
+    )(trs)
+    flat0, unravel = ravel_pytree(
+        jax.tree_util.tree_map(lambda v: v[0], latents0)
+    )
+    z0s = jax.vmap(
+        lambda i: ravel_pytree(
+            jax.tree_util.tree_map(lambda v: v[i], latents0)
+        )[0]
+    )(jnp.arange(n_chains))
+
+    def logdensity(z_vec):
+        tr, w = target.importance(
+            jax.random.key(0), unravel(z_vec)
+        )
+        return tr.get_score()
+
+    z_warm, eps, inv_mass = warmup_chains(
+        logdensity, z0s, k_warm, num_warmup, max_depth, target_accept
+    )
+
+    def sample_one_chain(z0, chain_key):
+        def step(z, step_key):
+            z_new, info = nuts_kernel(
+                logdensity, z, step_key, eps, inv_mass, max_depth
+            )
+            return z_new, (z_new, info)
+
+        _, (zs, infos) = lax.scan(
+            step, z0, jax.random.split(chain_key, num_samples)
+        )
+        return zs, infos
+
+    chain_keys = jax.random.split(k_sample, n_chains)
+    zs, infos = jax.vmap(sample_one_chain)(z_warm, chain_keys)
+    chms = jax.vmap(jax.vmap(unravel))(zs)
+    return chms, infos

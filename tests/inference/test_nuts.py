@@ -1,0 +1,125 @@
+"""NUTS tests: kernel correctness on Gaussians, trace-level NUTS request,
+and end-to-end run_nuts with cross-chain warmup on a hierarchical
+regression (BASELINE config 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import genjax_tpu as g
+from genjax_tpu.inference import Target, mh
+from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
+from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
+
+KEY = jax.random.key(314159)
+
+
+class TestKernel:
+    def test_gaussian_moments(self):
+        def logp(z):
+            return -0.5 * jnp.sum((z - 3.0) ** 2 / 4.0)
+
+        def step(z, key):
+            z_new, info = nuts_kernel(logp, z, key, 0.5, max_depth=8)
+            return z_new, z_new
+
+        _, zs = jax.lax.scan(
+            step, jnp.zeros(1), jax.random.split(KEY, 2000)
+        )
+        zs = np.asarray(zs)[500:]
+        assert abs(zs.mean() - 3.0) < 0.15
+        assert abs(zs.std() - 2.0) < 0.15
+
+    def test_anisotropic_with_mass(self):
+        def logp(z):
+            return -0.5 * (z[0] ** 2 / 100.0 + z[1] ** 2)
+
+        inv_mass = jnp.array([100.0, 1.0])
+
+        def step(z, key):
+            z_new, _ = nuts_kernel(
+                logp, z, key, 0.8, inv_mass=inv_mass, max_depth=6
+            )
+            return z_new, z_new
+
+        _, zs = jax.lax.scan(
+            step, jnp.zeros(2), jax.random.split(KEY, 2000)
+        )
+        zs = np.asarray(zs)[400:]
+        np.testing.assert_allclose(zs.std(0), [10.0, 1.0], rtol=0.15)
+
+
+class TestWarmup:
+    def test_adapts_eps_and_mass(self):
+        def logp(z):
+            return -0.5 * jnp.sum(z**2 / jnp.array([25.0, 1.0]))
+
+        z0s = jnp.zeros((4, 2))
+        zs, eps, inv_mass = jax.jit(
+            lambda k: warmup_chains(logp, z0s, k, num_warmup=400)
+        )(KEY)
+        assert 0.01 < float(eps) < 10.0
+        # mass should reflect the variance ratio ~25:1
+        ratio = float(inv_mass[0] / inv_mass[1])
+        assert 5.0 < ratio < 125.0
+
+
+class TestTraceRequest:
+    def test_nuts_request_posterior(self):
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        tr, _ = model.generate(KEY, g.C["y"].set(1.0), ())
+
+        def kernel(key, trace):
+            return mh(key, trace, NUTS(g.S.at["mu"], 0.3, 6))
+
+        from genjax_tpu.inference import chain
+
+        runner = chain(kernel)
+        _, mus = jax.jit(
+            lambda k, t: runner(
+                k, t, n_steps=800,
+                collect=lambda tr: tr.get_choices()["mu"],
+            )
+        )(jax.random.key(1), tr)
+        mus = np.asarray(mus)[200:]
+        assert abs(mus.mean() - 0.8) < 0.05
+        assert abs(mus.std() - np.sqrt(0.2)) < 0.05
+
+
+class TestEndToEnd:
+    def test_hierarchical_regression(self):
+        """BASELINE config 2: hierarchical linear regression, posterior
+        slope recovery with cross-chain-adapted NUTS."""
+        xs = jnp.linspace(-1.0, 1.0, 20)
+        true_slope, true_icept = 2.0, -0.5
+        ys_obs = true_slope * xs + true_icept
+
+        @g.gen
+        def regression(xs):
+            slope = g.normal(0.0, 2.0) @ "slope"
+            icept = g.normal(0.0, 2.0) @ "icept"
+            # Unconstrained parameterization (NUTS runs in R^d; support
+            # transforms are future work, as in the reference).
+            log_sigma = g.normal(-2.0, 0.5) @ "log_sigma"
+            sigma = jnp.exp(log_sigma)
+            _ = g.mv_normal_diag(
+                slope * xs + icept, sigma * jnp.ones_like(xs)
+            ) @ "ys"
+
+        target = Target(regression, (xs,), g.C["ys"].set(ys_obs))
+        chms, infos = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=4, num_warmup=300, num_samples=500,
+                max_depth=6,
+            )
+        )(KEY)
+        slopes = np.asarray(chms["slope"])  # (chains, samples)
+        icepts = np.asarray(chms["icept"])
+        assert abs(slopes.mean() - true_slope) < 0.1
+        assert abs(icepts.mean() - true_icept) < 0.1
+        # R-hat-ish: chains agree
+        assert np.std(slopes.mean(axis=1)) < 0.1
