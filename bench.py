@@ -1,12 +1,13 @@
 """Benchmark harness: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
-Headline metric (BASELINE.md config 1): SIR importance-sampling throughput
-(particles/s) on the README beta-bernoulli model, K=2048 particles x 64
-vmapped trials under one jit. ``vs_baseline`` is the speedup of the default
-backend (TPU) over the in-process CPU backend running the identical program
-— the reference publishes no numbers (BASELINE.json: published={}), so
-host-CPU XLA is the stand-in baseline.
+Headline metric (BASELINE.md config 4): bootstrap particle filter on the
+nonlinear 1D tracking model — 1,048,576 particles x 32 time steps, the
+whole filter (propagation, weighting, ESS, adaptive systematic resampling)
+in ONE jitted ``lax.scan``. Unit: particle-steps/s. ``vs_baseline`` is the
+speedup of the default backend (TPU) over host-CPU XLA on the identical
+program (the reference publishes no numbers: BASELINE.json published={}),
+with the CPU run scaled down by particle count and normalized.
 """
 
 import json
@@ -16,63 +17,81 @@ import jax
 import jax.numpy as jnp
 
 
-def build_workload(k_particles=2048, trials=64):
-    import genjax_tpu as g
-    from genjax_tpu.inference import ImportanceK, Target
+def build_pf(n_particles: int, n_steps: int):
+    from genjax_tpu.inference.pf import particle_filter
 
-    @g.gen
-    def beta_bernoulli(a, b):
-        p = g.beta(a, b) @ "p"
-        v = g.flip(p) @ "v"
-        return v
+    def init(key):
+        return jax.random.normal(key), jnp.zeros(())
 
-    target = Target(beta_bernoulli, (2.0, 2.0), g.C["v"].set(True))
-    alg = ImportanceK(target, k_particles=k_particles)
+    def step(key, x, y):
+        x_new = (
+            0.5 * x
+            + 25.0 * x / (1.0 + x * x)
+            + jnp.sqrt(10.0) * jax.random.normal(key)
+        )
+        lw = jax.scipy.stats.norm.logpdf(y, x_new * x_new / 20.0, 1.0)
+        return x_new, lw
+
+    pf = particle_filter(init, step, n_particles)
+    ys = jax.random.normal(jax.random.key(9), (n_steps,)) * 5.0
 
     def run(key):
-        keys = jax.random.split(key, trials)
-        col = jax.vmap(alg.run_smc)(keys)
-        # posterior mean + logZ per trial: forces full materialization.
-        w = jax.nn.softmax(col.get_log_weights(), axis=-1)
-        ps = col.get_particles().get_choices()["p"]
-        return jnp.sum(w * ps, axis=-1), col.get_log_marginal_likelihood_estimate()
+        final, _ = pf(key, ys)
+        return final.log_z
 
-    return run, k_particles * trials
+    return run, n_particles * n_steps
 
 
-def time_throughput(run, work, device, reps=20):
-    fn = jax.jit(run)
+def time_workload(run, work, device, reps: int):
+    """Time ``reps`` runs folded into ONE jitted lax.scan and synchronized
+    by a host transfer. (The TPU tunnel here has ~30ms per-dispatch
+    latency and an async completion queue that makes per-call
+    block_until_ready timings unreliable — one big dispatch, wall-clocked
+    end to end, is the only trustworthy measurement.)"""
+
+    def many(key):
+        def body(carry, i):
+            out = run(jax.random.fold_in(key, i))
+            return carry + out, None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(reps)
+        )
+        return total
+
+    fn = jax.jit(many)
     key = jax.device_put(jax.random.key(0), device)
-    out = fn(key)
-    jax.block_until_ready(out)  # compile + warmup
+    float(fn(key))  # compile + full first-run warmup, synced
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = fn(jax.device_put(jax.random.fold_in(key, i), device))
-    jax.block_until_ready(out)
+    float(fn(jax.device_put(jax.random.fold_in(key, 1), device)))
     dt = time.perf_counter() - t0
     return work * reps / dt
 
 
 def main():
-    run, work = build_workload()
     default_dev = jax.devices()[0]
-    throughput = time_throughput(run, work, default_dev)
+    on_tpu = default_dev.platform != "cpu"
+
+    n_particles = 1 << 20 if on_tpu else 1 << 16
+    run, work = build_pf(n_particles, 32)
+    throughput = time_workload(run, work, default_dev, reps=10)
 
     vs_baseline = 1.0
-    if default_dev.platform != "cpu":
+    if on_tpu:
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                cpu_run, cpu_work = build_workload()
-                cpu_throughput = time_throughput(cpu_run, cpu_work, cpu, reps=5)
+                cpu_run, cpu_work = build_pf(1 << 16, 32)
+                cpu_throughput = time_workload(cpu_run, cpu_work, cpu,
+                                               reps=3)
             vs_baseline = throughput / cpu_throughput
         except Exception:
             vs_baseline = 1.0
 
     print(json.dumps({
-        "metric": "sir_beta_bernoulli_throughput",
+        "metric": "particle_filter_nonlinear_tracking_throughput",
         "value": round(throughput, 1),
-        "unit": "particles/s",
+        "unit": "particle-steps/s",
         "vs_baseline": round(float(vs_baseline), 3),
     }))
 

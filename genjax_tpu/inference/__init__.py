@@ -16,6 +16,11 @@ from genjax_tpu.inference.exact_testbed import (
 from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
 from genjax_tpu.inference.diagnostics import ess_autocorr, split_rhat, summarize
 from genjax_tpu.inference.mcmc import chain, mh, multi_chain
+from genjax_tpu.inference.pf import (
+    ParticleFilter,
+    bootstrap_filter,
+    particle_filter,
+)
 from genjax_tpu.inference.requests import (
     HMC,
     Rejuvenate,
@@ -39,6 +44,9 @@ __all__ = [
     "DiscreteHMMInferenceProblem",
     "HMC",
     "NUTS",
+    "ParticleFilter",
+    "bootstrap_filter",
+    "particle_filter",
     "build_test_against_exact_inference",
     "ess_autocorr",
     "nuts_kernel",

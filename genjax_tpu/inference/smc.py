@@ -64,27 +64,66 @@ def effective_sample_size(log_weights: jax.Array) -> jax.Array:
     return jnp.exp(-logsumexp(2.0 * lw))
 
 
+def _ancestors_from_counts(counts_cum: jax.Array, n: int) -> jax.Array:
+    """Invert cumulative offspring counts into sorted ancestor indices via
+    scatter-add + cumsum (O(n), no binary search — ``searchsorted`` lowers
+    to 20 rounds of random gathers on TPU and is ~100x slower at 1M)."""
+    k = counts_cum.shape[0]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, counts_cum.dtype), counts_cum[:-1]]
+    )
+    # Particles with zero offspring whose start lands at n scatter out of
+    # bounds and are dropped (mode="drop") — do NOT clip them into range.
+    marks = jnp.zeros(n, jnp.int32).at[starts].add(1, mode="drop")
+    return jnp.clip(jnp.cumsum(marks) - 1, 0, k - 1)
+
+
+def _sorted_searchsorted(cum: jax.Array, us: jax.Array) -> jax.Array:
+    """``searchsorted(cum, us)`` for *sorted* ``us`` via one merge-rank
+    sort instead of per-query binary search."""
+    k, n = cum.shape[0], us.shape[0]
+    comb = jnp.concatenate([cum, us])
+    # Stable argsort: on ties, cum entries (first) come before us entries,
+    # matching side='left' insertion semantics.
+    order = jnp.argsort(comb, stable=True)
+    is_query = order >= k
+    # Rank of each merged element among cum entries only:
+    cum_before = jnp.cumsum(~is_query)
+    # For query positions, insertion index = number of cum entries before.
+    idx_in_merge = jnp.cumsum(is_query) - 1
+    result = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_query, idx_in_merge, n - 1)
+    ].max(jnp.where(is_query, cum_before, 0).astype(jnp.int32))
+    return jnp.clip(result, 0, k - 1)
+
+
 def resample_indices(key: jax.Array, log_weights: jax.Array, n: int,
                      method: str = "systematic") -> jax.Array:
-    """Draw ``n`` ancestor indices proportional to ``exp(log_weights)``.
+    """Draw ``n`` sorted ancestor indices proportional to
+    ``exp(log_weights)``.
 
-    ``systematic`` (default) and ``stratified`` use sorted-uniform inversion
-    — O(K) with a single cumsum + ``searchsorted``, both XLA-friendly and the
-    standard low-variance choices; ``multinomial`` is a categorical draw.
-    """
+    All three methods are O(K log K) or better with no per-query binary
+    search: ``systematic`` (default) counts grid hits per particle in
+    closed form; ``stratified`` and ``multinomial`` use sorted uniforms +
+    a single merge-rank sort."""
     k = log_weights.shape[0]
-    if method == "multinomial":
-        return jax.random.categorical(key, log_weights, shape=(n,))
     norm = jax.nn.softmax(log_weights)
     cum = jnp.cumsum(norm)
     if method == "systematic":
         u0 = jax.random.uniform(key, ())
-        us = (u0 + jnp.arange(n)) / n
+        # #{i : (u0 + i)/n < cum_k} = ceil(n·cum_k − u0).
+        counts_cum = jnp.ceil(n * cum - u0).astype(jnp.int32)
+        counts_cum = jnp.clip(counts_cum, 0, n)
+        return _ancestors_from_counts(counts_cum, n)
     elif method == "stratified":
         us = (jax.random.uniform(key, (n,)) + jnp.arange(n)) / n
-    else:
-        raise ValueError(f"Unknown resampling method: {method!r}")
-    return jnp.clip(jnp.searchsorted(cum, us), 0, k - 1).astype(jnp.int32)
+        return _sorted_searchsorted(cum, us)
+    elif method == "multinomial":
+        es = jax.random.exponential(key, (n + 1,))
+        # Sorted uniforms via normalized exponential spacings.
+        us = jnp.cumsum(es)[:-1] / jnp.sum(es)
+        return _sorted_searchsorted(cum, us)
+    raise ValueError(f"Unknown resampling method: {method!r}")
 
 
 # ---------------------------------------------------------------------------
