@@ -196,11 +196,11 @@ class GenerativeFunction(Pytree, Generic[R]):
         return GenerativeFunctionClosure(self, args, kwargs)
 
     def handle_kwargs(self) -> "GenerativeFunction[R]":
-        from genjax_tpu.lang.combinators.dimap import Dimap
-
-        def flatten_kwargs(args, kwargs):
-            return (*args, kwargs)
-
+        """Return a version taking ``(args_tuple, kwargs_dict)`` as its
+        argument pair. Default: kwargs are ignored (distributions and
+        combinators have positional-only interfaces); ``Fn`` overrides to
+        actually apply them. Parity: reference
+        ``generative_function.py:303-339, 1487-1550``."""
         return IgnoreKwargs(self)
 
     # -- combinator postfix methods ---------------------------------------
@@ -302,21 +302,24 @@ class IgnoreKwargs(GenerativeFunction[Any]):
 
     wrapped: GenerativeFunction[Any]
 
-    def _split(self, args):
-        *a, kwargs = args
-        return tuple(a), dict(kwargs)
-
     def simulate(self, key, args):
-        a, kw = self._split(args)
+        (a, _kwargs) = args
         return self.wrapped.simulate(key, a)
 
     def assess(self, chm, args):
-        a, kw = self._split(args)
+        (a, _kwargs) = args
         return self.wrapped.assess(chm, a)
 
     def generate(self, key, constraint, args):
-        a, kw = self._split(args)
+        (a, _kwargs) = args
         return self.wrapped.generate(key, constraint, a)
+
+    def project(self, key, trace, selection):
+        return self.wrapped.project(key, trace, selection)
+
+    def edit(self, key, trace, request, argdiffs):
+        (a_diffs, _kwargs) = argdiffs
+        return self.wrapped.edit(key, trace, request, a_diffs)
 
 
 @Pytree.dataclass
@@ -336,8 +339,7 @@ class GenerativeFunctionClosure(Pytree, Generic[R]):
 
         if self.kwargs:
             gf = self.gen_fn.handle_kwargs()
-            full_args = (*self.args, tuple(sorted(self.kwargs.items())))
-            return trace_here(addr, gf, full_args)
+            return trace_here(addr, gf, (self.args, dict(self.kwargs)))
         return trace_here(addr, self.gen_fn, self.args)
 
     # Direct GFI passthrough on the closed-over args:

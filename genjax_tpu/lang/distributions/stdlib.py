@@ -26,7 +26,9 @@ from jax import lax
 from genjax_tpu.lang.distributions.distribution import exact_density
 
 __all__ = [
-    "bernoulli", "beta", "beta_binomial", "binomial", "categorical",
+    "bernoulli", "beta", "beta_binomial", "beta_quotient", "binomial",
+    "categorical", "lambert_w_normal", "power_spherical",
+    "von_mises_fisher",
     "cauchy", "chi", "chi2", "dirichlet", "dirichlet_multinomial",
     "double_sided_maxwell", "exp_gamma", "exp_inverse_gamma", "exponential",
     "flip", "gamma", "geometric", "gumbel", "half_cauchy", "half_normal",
@@ -690,3 +692,179 @@ dirichlet_multinomial = exact_density(
     _dirichlet_multinomial_logpmf,
     "dirichlet_multinomial",
 )
+
+
+# ---------------------------------------------------------------------------
+# Long-tail distributions (parity: the remaining TFP wrappers at reference
+# `tensorflow_probability/__init__.py`: beta_quotient, lambert_w_normal,
+# power_spherical, von_mises_fisher)
+# ---------------------------------------------------------------------------
+
+
+def _beta_quotient_sample(key, a1, b1, a2, b2):
+    k1, k2 = jr.split(key)
+    shape = _bshape(a1, b1, a2, b2)
+    x = jr.beta(k1, a1, b1, shape)
+    y = jr.beta(k2, a2, b2, shape)
+    return x / y
+
+
+def _beta_quotient_logpdf(t, a1, b1, a2, b2):
+    # Density of X/Y, X~Beta(a1,b1), Y~Beta(a2,b2) (Pham-Gia 2000):
+    #   t<=1: B(a1+a2,b1) t^(a1-1) 2F1(a1+a2, 1-b2; a1+a2+b1; t) / Z
+    #   t>=1: B(a1+a2,b2) t^-(a2+1) 2F1(a1+a2, 1-b2; a1+a2+b1; 1/t)... by
+    # the X/Y <-> Y/X symmetry; Z = B(a1,b1) B(a2,b2).
+    t = _f(t)
+
+    def logB(a, b):
+        return jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b)
+
+    logZ = logB(a1, b1) + logB(a2, b2)
+    t_lo = jnp.minimum(t, 1.0)
+    lo = (
+        logB(a1 + a2, b1)
+        + (a1 - 1.0) * jnp.log(t_lo)
+        + jnp.log(jsp.hyp2f1(a1 + a2, 1.0 - b2, a1 + a2 + b1, t_lo))
+        - logZ
+    )
+    # t > 1: density of T = X/Y at t equals density of Y/X at 1/t times
+    # 1/t^2.
+    s = jnp.minimum(1.0 / jnp.maximum(t, 1.0), 1.0)
+    hi = (
+        logB(a2 + a1, b2)
+        + (a2 - 1.0) * jnp.log(s)
+        + jnp.log(jsp.hyp2f1(a2 + a1, 1.0 - b1, a2 + a1 + b2, s))
+        - logZ
+        - 2.0 * jnp.log(jnp.maximum(t, 1.0))
+    )
+    return jnp.where(t <= 1.0, lo, hi)
+
+
+#: BetaQuotient(a1, b1, a2, b2) — ratio of independent Betas.
+beta_quotient = exact_density(
+    _beta_quotient_sample, _beta_quotient_logpdf, "beta_quotient"
+)
+
+
+def _lambert_w_normal_sample(key, loc, scale, tailweight):
+    from genjax_tpu.lang.distributions.special import lambertw  # noqa: F401
+
+    u = jr.normal(key, _bshape(loc, scale, tailweight))
+    z = u * jnp.exp(tailweight * u * u / 2.0)
+    return loc + scale * z
+
+
+def _lambert_w_normal_logpdf(y, loc, scale, tailweight):
+    from genjax_tpu.lang.distributions.special import lambertw
+
+    z = (y - loc) / scale
+    d = tailweight
+    # Inverse transform: u = sign(z) sqrt(W(d z^2)/d); dz/du = e^{du²/2}(1+du²)
+    w = lambertw(d * z * z)
+    u = jnp.sign(z) * jnp.sqrt(jnp.maximum(w / jnp.maximum(d, 1e-12), 0.0))
+    u = jnp.where(d == 0.0, z, u)
+    jac = jnp.exp(d * u * u / 2.0) * (1.0 + d * u * u)
+    return (jss.norm.logpdf(u) - jnp.log(jnp.maximum(jac, 1e-30))
+            - jnp.log(scale))
+
+
+#: LambertWNormal(loc, scale, tailweight) — heavy-tailed Gaussian via the
+#: Lambert W x Gaussian transform (Goerg 2011).
+lambert_w_normal = exact_density(
+    _lambert_w_normal_sample, _lambert_w_normal_logpdf, "lambert_w_normal"
+)
+
+
+def _householder_rotate(y, mu):
+    """Map e1-aligned samples to mu-aligned via Householder reflection."""
+    d = mu.shape[-1]
+    e1 = jnp.zeros(d).at[0].set(1.0)
+    u = e1 - mu
+    norm = jnp.linalg.norm(u)
+    u = jnp.where(norm > 1e-9, u / jnp.maximum(norm, 1e-9), u)
+    return jnp.where(norm > 1e-9, y - 2.0 * jnp.dot(u, y) * u, y)
+
+
+def _power_spherical_sample(key, mu, conc):
+    # De Cao & Aziz 2020: exact sampling via a transformed Beta.
+    d = mu.shape[-1]
+    alpha = (d - 1.0) / 2.0 + conc
+    beta_ = (d - 1.0) / 2.0
+    k1, k2 = jr.split(key)
+    b = jr.beta(k1, alpha, beta_)
+    t = 2.0 * b - 1.0
+    v = jr.normal(k2, (d - 1,))
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    y = jnp.concatenate([t[None], jnp.sqrt(1.0 - t * t) * v])
+    return _householder_rotate(y, mu)
+
+
+def _power_spherical_logpdf(x, mu, conc):
+    d = mu.shape[-1]
+    alpha = (d - 1.0) / 2.0 + conc
+    beta_ = (d - 1.0) / 2.0
+    log_c = -(
+        (alpha + beta_) * jnp.log(2.0)
+        + jsp.gammaln(alpha)
+        - jsp.gammaln(alpha + beta_)
+        + beta_ * jnp.log(jnp.pi)
+    )
+    return log_c + conc * jnp.log1p(jnp.sum(mu * x, axis=-1))
+
+
+#: PowerSpherical(mean_direction, concentration) on S^{d-1}.
+power_spherical = exact_density(
+    _power_spherical_sample, _power_spherical_logpdf, "power_spherical"
+)
+
+
+def _vmf_sample(key, mu, conc):
+    """von Mises-Fisher via Wood (1994) rejection on the first coordinate,
+    bounded lax.while_loop; then Householder rotation."""
+    d = mu.shape[-1]
+    k_w, k_v = jr.split(key)
+    b = (-2.0 * conc + jnp.sqrt(4.0 * conc * conc + (d - 1.0) ** 2)) / (
+        d - 1.0
+    )
+    x0 = (1.0 - b) / (1.0 + b)
+    c = conc * x0 + (d - 1.0) * jnp.log(1.0 - x0 * x0)
+
+    def body(state):
+        key, _, done, w = state
+        key, kz, ku = jr.split(key, 3)
+        z = jr.beta(kz, (d - 1.0) / 2.0, (d - 1.0) / 2.0)
+        u = jr.uniform(ku, ())
+        w_prop = (1.0 - (1.0 + b) * z) / (1.0 - (1.0 - b) * z)
+        accept = conc * w_prop + (d - 1.0) * jnp.log(
+            jnp.maximum(1.0 - x0 * w_prop, 1e-30)
+        ) - c >= jnp.log(u)
+        w = jnp.where(done, w, jnp.where(accept, w_prop, w))
+        done = done | accept
+        return key, done, done, w
+
+    _, _, _, w = lax.while_loop(
+        lambda st: ~st[1],
+        body,
+        (k_w, jnp.asarray(False), jnp.asarray(False), jnp.zeros(())),
+    )
+    v = jr.normal(k_v, (d - 1,))
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    y = jnp.concatenate([w[None], jnp.sqrt(1.0 - w * w) * v])
+    return _householder_rotate(y, mu)
+
+
+def _vmf_logpdf(x, mu, conc):
+    from genjax_tpu.lang.distributions.special import log_bessel_iv
+
+    d = mu.shape[-1]
+    nu = d / 2.0 - 1.0
+    log_c = (
+        nu * jnp.log(jnp.maximum(conc, 1e-30))
+        - (d / 2.0) * jnp.log(2.0 * jnp.pi)
+        - log_bessel_iv(nu, conc)
+    )
+    return log_c + conc * jnp.sum(mu * x, axis=-1)
+
+
+#: VonMisesFisher(mean_direction, concentration) on S^{d-1}.
+von_mises_fisher = exact_density(_vmf_sample, _vmf_logpdf, "von_mises_fisher")

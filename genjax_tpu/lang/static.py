@@ -450,6 +450,17 @@ class Fn(GenerativeFunction[Any]):
         nesting). Parity: reference ``static.py:991-1009``."""
         return self.source(*args)
 
+    def handle_kwargs(self) -> "Fn":
+        """Kwarg-accepting form: args become ``(args_tuple, kwargs_dict)``
+        and are applied to the source. Parity: reference
+        ``static.py:780-785``."""
+        source = self.source
+
+        def kwarged_source(args, kwargs):
+            return source(*args, **kwargs)
+
+        return Fn(kwarged_source)
+
     def partial_apply(self, *pre_args) -> "Fn":
         """Fix leading arguments. Parity: reference ``static.py:1011-1040``."""
         partial = functools.partial(self.source, *pre_args)

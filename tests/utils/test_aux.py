@@ -1,0 +1,122 @@
+"""Aux subsystem tests: time-travel debugger, checkpointing, pretty
+rendering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import genjax_tpu as g
+from genjax_tpu.core.compiler.interpreters.time_travel import (
+    rec,
+    time_machine,
+)
+from genjax_tpu.utils import (
+    pformat,
+    render_html,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+KEY = jax.random.key(314159)
+
+
+class TestTimeTravel:
+    def fn(self, x):
+        a = rec(x * 2.0, name="a")
+        b = rec(a + 1.0, name="b")
+        return b * 10.0
+
+    def test_frames_and_navigation(self):
+        dbg = time_machine(self.fn)(3.0)
+        assert [f.tag for f in dbg.frames] == ["a", "b"]
+        assert jnp.allclose(dbg.final, 70.0)
+        assert jnp.allclose(dbg.jump("a").frame.value, 6.0)
+        assert jnp.allclose(dbg.fwd().frame.value, 7.0)
+        assert jnp.allclose(dbg.bwd().frame.value, 6.0)
+
+    def test_resume(self):
+        dbg = time_machine(self.fn)(3.0)
+        dbg.jump("b")
+        assert jnp.allclose(dbg.resume(), 70.0)
+        # Counterfactual: substitute a new value at frame b.
+        assert jnp.allclose(dbg.resume(value=jnp.asarray(0.0)), 0.0)
+
+    def test_remix(self):
+        dbg = time_machine(self.fn)(3.0)
+        dbg2 = dbg.remix(5.0)
+        assert jnp.allclose(dbg2.final, 110.0)
+
+    def test_with_gen_fn(self):
+        @g.gen
+        def model(mu):
+            x = g.normal(mu, 1.0) @ "x"
+            y = rec(x * 2.0, name="doubled")
+            return y
+
+        dbg = time_machine(lambda mu: model.simulate(KEY, (mu,))
+                           .get_retval())(1.0)
+        assert dbg.frames[0].tag == "doubled"
+
+
+class TestCheckpoint:
+    def test_npz_roundtrip_trace(self, tmp_path):
+        @g.gen
+        def model(mu):
+            return g.normal(mu, 1.0) @ "x"
+
+        tr = model.simulate(KEY, (0.5,))
+        path = str(tmp_path / "trace.npz")
+        save_checkpoint(path, tr)
+        like = model.get_zero_trace(0.5)
+        restored = restore_checkpoint(path, like)
+        assert jnp.allclose(restored.get_score(), tr.get_score())
+        assert jnp.allclose(
+            restored.get_choices()["x"], tr.get_choices()["x"]
+        )
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from genjax_tpu.inference import ImportanceK, Target
+
+        @g.gen
+        def model():
+            p = g.beta(2.0, 2.0) @ "p"
+            _ = g.flip(p) @ "v"
+
+        target = Target(model, (), g.C["v"].set(True))
+        col = ImportanceK(target, k_particles=8).run_smc(KEY)
+        state = {
+            "log_weights": col.get_log_weights(),
+            "ps": col.get_particles().get_choices()["p"],
+        }
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, state)
+        restored = restore_checkpoint(path, jax.tree_util.tree_map(
+            jnp.zeros_like, state
+        ))
+        np.testing.assert_allclose(
+            np.asarray(restored["log_weights"]),
+            np.asarray(state["log_weights"]),
+        )
+
+
+class TestPretty:
+    def test_pformat_trace(self):
+        @g.gen
+        def model():
+            x = g.normal(0.0, 1.0) @ "x"
+            y = g.normal(x, 1.0) @ "y"
+            return y
+
+        tr = model.simulate(KEY, ())
+        s = pformat(tr)
+        assert "'x'" in s and "'y'" in s and "score" in s
+
+    def test_render_html(self):
+        chm = g.C["a"].set(1.0) | g.C["b", "c"].set(jnp.ones(3))
+        html = render_html(chm)
+        assert html.startswith("<pre>") and "a" in html
+
+    def test_pformat_choice_map_nested(self):
+        chm = g.C["outer", "inner"].set(2.0)
+        s = pformat(chm)
+        assert "'outer'" in s and "'inner'" in s
