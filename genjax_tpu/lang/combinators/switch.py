@@ -121,16 +121,24 @@ class Switch(GenerativeFunction[Any]):
 
     def edit(self, key: jax.Array, trace: SwitchTrace, request: EditRequest,
              argdiffs: Argdiffs):
-        """Edit with an unchanged branch index (the index-change move of
-        reference ``switch.py:225-303`` — simulate a fresh branch then edit
-        it — is marked by the reference itself as having a known-wrong
-        backward request and is deferred)."""
+        """Edit. With an unchanged index, each branch serves the
+        sub-request. With a (possibly) changed index, the new branch is
+        freshly simulated then constrained (reference ``switch.py:225-303``)
+        and the weight picks up the full score delta; unlike the reference
+        (whose bwd_request carries a known-wrong TODO), the backward
+        request here is the Update carrying ALL of the old trace's
+        choices, which restores the previous branch when replayed."""
         if not isinstance(request, (Update, Regenerate)):
             raise NotImplementedError(
                 f"Switch does not support {type(request).__name__}"
             )
         args = Diff.tree_primal(argdiffs)
         idx, branch_args = self._split_args(args)
+        idx_diff = argdiffs[0]
+        if isinstance(request, Update) and not Diff.static_check_no_change(
+            idx_diff
+        ):
+            return self._edit_index_change(key, trace, request, args)
         tangent = Diff.tree_tangent(argdiffs[1:])
 
         fs = []
@@ -161,6 +169,33 @@ class Switch(GenerativeFunction[Any]):
         else:
             bwd = Regenerate(request.selection)
         return new_trace, w, retdiff, bwd
+
+
+    def _edit_index_change(self, key: jax.Array, trace: SwitchTrace,
+                           request: "Update", args: tuple):
+        new_idx, branch_args = self._split_args(args)
+
+        fs = []
+        for b in self.branches:
+            def f(key, a, _b=b):
+                new_tr = _b.simulate(key, a)
+                edited, w, _rd, _bwd = _b.edit(
+                    key, new_tr, request, Diff.no_change(a)
+                )
+                return edited, w
+            fs.append(f)
+
+        arg_tuples = [(key, a) for a in branch_args]
+        outs = multi_switch(new_idx, fs, arg_tuples)
+        subtraces = [tr for tr, _ in outs]
+        w_edit = tree_choose(new_idx, [w for _, w in outs])
+        new_trace = self._build(args, subtraces)
+        # Full score delta: the new branch's choices replace the old
+        # branch's entirely (reference switch.py:289-293).
+        weight = w_edit + new_trace.get_score() - trace.get_score()
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        bwd = Update(trace.get_choices())
+        return new_trace, weight, retdiff, bwd
 
 
 def switch(*branches: GenerativeFunction) -> Switch:

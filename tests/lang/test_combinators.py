@@ -382,3 +382,67 @@ class TestIterateAccumulate:
         np.testing.assert_allclose(
             np.asarray(tr.get_retval()), [0, 1, 1, 2], atol=1e-3
         )
+
+
+class TestSwitchIndexChange:
+    def test_index_change_edit(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def b1():
+            return g.normal(10.0, 2.0) @ "y"
+
+        sw = g.switch(b0, b1)
+        tr = sw.simulate(KEY, (0, (), ()))
+        argdiffs = (
+            g.Diff(1, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        new_tr, w, _rd, bwd = sw.edit(
+            jax.random.key(1), tr, g.Update(g.ChoiceMap.empty()), argdiffs
+        )
+        # Now on branch 1:
+        y = new_tr.get_choices()["y"]
+        y = y.unmask() if isinstance(y, g.Mask) else y
+        assert y > 3.0
+        # weight = fresh-prior proposal: s_new - s_old + 0 edit weight...
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+        # Backward: replay the old choices to return to branch 0.
+        back_diffs = (
+            g.Diff(0, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        back_tr, w_b, _, _ = sw.edit(
+            jax.random.key(2), new_tr, bwd, back_diffs
+        )
+        assert jnp.allclose(back_tr.get_score(), tr.get_score(), atol=1e-5)
+
+    def test_index_change_with_constraint(self):
+        @g.gen
+        def b0():
+            return g.flip(0.2) @ "h0"
+
+        @g.gen
+        def b1():
+            return g.flip(0.9) @ "h1"
+
+        sw = g.switch(b0, b1)
+        tr = sw.simulate(KEY, (0, (), ()))
+        argdiffs = (
+            g.Diff(1, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        new_tr, w, _, _ = sw.edit(
+            jax.random.key(1), tr, g.Update(g.C["h1"].set(True)), argdiffs
+        )
+        v = new_tr.get_choices()["h1"]
+        v = v.unmask() if isinstance(v, g.Mask) else v
+        assert bool(v) is True
+        assert jnp.allclose(new_tr.get_score(), jnp.log(0.9), atol=1e-6)
