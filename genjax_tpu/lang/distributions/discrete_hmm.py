@@ -85,6 +85,11 @@ class DiscreteHMMConfiguration(Pytree):
         return self.prior_logits.shape[-1]
 
 
+# Log-space matrix product as max-shifted MXU matmul (fused Pallas kernel
+# on TPU for lane-aligned sizes): see genjax_tpu/ops/logmatmul.py.
+from genjax_tpu.ops.logmatmul import log_matmul  # noqa: E402
+
+
 def forward_filter(config: DiscreteHMMConfiguration,
                    observations: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Sequential forward filtering. Returns ``(alphas, log_marginal)``
@@ -112,12 +117,7 @@ def forward_filter_parallel(
     obs_ll = config.observation_logits[:, observations].T  # (T, S)
     # M_t[i, j] = log P(z_t = j, x_t | z_{t-1} = i) for t >= 1.
     Ms = config.transition_logits[None, :, :] + obs_ll[1:, None, :]
-
-    def logmatmul(A, B):
-        # (batched) log-space matrix product: C[i,j] = logsum_k A[i,k]+B[k,j]
-        return logsumexp(A[..., :, :, None] + B[..., None, :, :], axis=-2)
-
-    prefix = lax.associative_scan(logmatmul, Ms)  # (T-1, S, S)
+    prefix = lax.associative_scan(log_matmul, Ms)  # (T-1, S, S)
     alpha0 = config.prior_logits + obs_ll[0]
     rest = logsumexp(alpha0[None, :, None] + prefix, axis=1)  # (T-1, S)
     alphas = jnp.concatenate([alpha0[None], rest], axis=0)

@@ -1,0 +1,9 @@
+"""TPU compute kernels (Pallas) and kernel-backed ops."""
+
+from genjax_tpu.ops.logmatmul import (
+    log_matmul,
+    log_matmul_jnp,
+    log_matmul_pallas,
+)
+
+__all__ = ["log_matmul", "log_matmul_jnp", "log_matmul_pallas"]
