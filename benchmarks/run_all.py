@@ -1,0 +1,202 @@
+"""The five BASELINE.md benchmark configs, each printing one JSON line.
+``bench.py`` at the repo root is the headline (config 4); this suite covers
+the rest for longitudinal tracking.
+
+Usage: python benchmarks/run_all.py [--config N] [--small]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync_time(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
+def config1_sir(small: bool):
+    """Beta-Bernoulli SIR (README quickstart)."""
+    import genjax_tpu as g
+    from genjax_tpu.inference import ImportanceK, Target
+
+    @g.gen
+    def bb(a, b):
+        p = g.beta(a, b) @ "p"
+        v = g.flip(p) @ "v"
+        return v
+
+    k, trials = (1024, 64) if not small else (64, 8)
+    target = Target(bb, (2.0, 2.0), g.C["v"].set(True))
+    alg = ImportanceK(target, k_particles=k)
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, trials)
+        col = jax.vmap(alg.run_smc)(keys)
+        return col.get_log_marginal_likelihood_estimate().sum()
+
+    _, dt = _sync_time(run, jax.random.key(0))
+    return {
+        "metric": "sir_beta_bernoulli_throughput",
+        "value": round(k * trials / dt, 1),
+        "unit": "particles/s",
+        "vs_baseline": 1.0,
+    }
+
+
+def config2_nuts(small: bool):
+    """Hierarchical regression NUTS effective-samples/s."""
+    import numpy as np
+
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, ess_autocorr, run_nuts
+
+    xs = jnp.linspace(-1.0, 1.0, 20)
+    ys = 2.0 * xs - 0.5
+
+    @g.gen
+    def reg(xs):
+        slope = g.normal(0.0, 2.0) @ "slope"
+        icept = g.normal(0.0, 2.0) @ "icept"
+        _ = g.mv_normal_diag(
+            slope * xs + icept, 0.2 * jnp.ones_like(xs)
+        ) @ "ys"
+
+    target = Target(reg, (xs,), g.C["ys"].set(ys))
+    warm, samp = (200, 400) if not small else (50, 50)
+
+    fn = jax.jit(lambda k: run_nuts(
+        target, k, n_chains=4, num_warmup=warm, num_samples=samp,
+        max_depth=6,
+    )[0]["slope"])
+    slopes, dt = _sync_time(fn, jax.random.key(0))
+    ess = float(ess_autocorr(jnp.asarray(slopes)))
+    return {
+        "metric": "nuts_hier_regression_ess_per_s",
+        "value": round(ess / dt, 1),
+        "unit": "eff-samples/s",
+        "vs_baseline": 1.0,
+    }
+
+
+def config3_hmm_smc(small: bool):
+    """Discrete HMM logZ via SMC with systematic resampling, vs exact."""
+    from genjax_tpu.inference.pf import particle_filter
+    from genjax_tpu.lang.distributions.discrete_hmm import (
+        DiscreteHMMConfiguration, forward_filter,
+    )
+
+    S, T = (64, 64) if not small else (8, 16)
+    config = DiscreteHMMConfiguration.circulant(S, S)
+    obs = jax.random.randint(jax.random.key(3), (T,), 0, S)
+    _, exact = forward_filter(config, obs)
+
+    def init(key):
+        z = jax.random.categorical(key, config.prior_logits)
+        return z, config.observation_logits[z, obs[0]]
+
+    def step(key, z, o):
+        z_new = jax.random.categorical(key, config.transition_logits[z])
+        return z_new, config.observation_logits[z_new, o]
+
+    n = 1 << (15 if not small else 10)
+    pf = particle_filter(init, step, n)
+    fn = jax.jit(lambda k: pf(k, obs[1:])[0].log_z)
+    logz, dt = _sync_time(fn, jax.random.key(0))
+    return {
+        "metric": "hmm_smc_particle_steps_per_s",
+        "value": round(n * T / dt, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": 1.0,
+        "logz_abs_error": round(abs(float(logz) - float(exact)), 4),
+    }
+
+
+def config4_tracking(small: bool):
+    """Nonlinear 1D tracking PF (the bench.py headline)."""
+    import bench as headline
+
+    n = 1 << (20 if not small else 12)
+    run, work = headline.build_pf(n, 32)
+    fn = jax.jit(lambda k: run(k))
+    _, dt = _sync_time(fn, jax.random.key(0))
+    return {
+        "metric": "particle_filter_nonlinear_tracking_throughput",
+        "value": round(work / dt, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": 1.0,
+    }
+
+
+def config5_vi(small: bool):
+    """ADEV VI on a mixture model: ELBO grad steps/s."""
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, marginal, vi
+
+    @g.gen
+    def model(v):
+        comp = g.flip(0.5) @ "comp"
+        mu = g.normal(jnp.where(comp, v, -v), 1.0) @ "mu"
+        _ = g.normal(mu, 0.5) @ "y"
+
+    @marginal()
+    @g.gen
+    def guide(target):
+        (v,) = target.args
+        b = vi.flip_enum(0.5) @ "comp"
+        _ = vi.normal_reparam(jnp.where(b, v, -v), 0.5) @ "mu"
+
+    loss_grad = jax.jit(vi.ELBO(
+        guide, lambda v: Target(model, (v,), g.C["y"].set(1.0))
+    ))
+    steps = 100 if not small else 10
+
+    def run(key):
+        v = 0.5
+        for i in range(steps):
+            (dv,) = loss_grad(jax.random.fold_in(key, i), (v,))
+            v = v - 1e-3 * dv
+        return v
+
+    _, dt = _sync_time(run, jax.random.key(0))
+    return {
+        "metric": "adev_vi_mixture_grad_steps_per_s",
+        "value": round(steps / dt, 2),
+        "unit": "grad-steps/s",
+        "vs_baseline": 1.0,
+    }
+
+
+CONFIGS = {
+    1: config1_sir,
+    2: config2_nuts,
+    3: config3_hmm_smc,
+    4: config4_tracking,
+    5: config5_vi,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    targets = [args.config] if args.config else sorted(CONFIGS)
+    for c in targets:
+        print(json.dumps(CONFIGS[c](args.small)))
+
+
+if __name__ == "__main__":
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    main()

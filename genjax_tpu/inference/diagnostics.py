@@ -42,8 +42,14 @@ def ess_autocorr(samples: jax.Array, max_lag: int | None = None) -> jax.Array:
     var = jnp.mean(jnp.var(samples, axis=1, ddof=1), axis=0)
 
     def rho_at(lag):
-        prod = centered[:, : n - lag] * centered[:, lag:]
-        return jnp.mean(prod, axis=(0, 1)) / jnp.maximum(var, 1e-12)
+        # Dynamic-lag autocovariance via roll + validity mask (static
+        # shapes — vmap/jit safe).
+        shifted = jnp.roll(centered, -lag, axis=1)
+        valid = (jnp.arange(n) < n - lag).astype(centered.dtype)
+        valid = valid.reshape((1, n) + (1,) * (centered.ndim - 2))
+        prod = centered * shifted * valid
+        denom = c * jnp.maximum(n - lag, 1)
+        return jnp.sum(prod, axis=(0, 1)) / denom / jnp.maximum(var, 1e-12)
 
     lags = jnp.arange(1, max_lag + 1)
     rhos = jax.vmap(rho_at)(lags)
