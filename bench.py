@@ -20,19 +20,24 @@ import jax.numpy as jnp
 def build_pf(n_particles: int, n_steps: int):
     from genjax_tpu.inference.pf import particle_filter
 
+    # Batched (array-level) model: one key per step, whole-ensemble ops —
+    # the fast path (per-particle fold_in keys cost ~2x at 1M particles).
     def init(key):
-        return jax.random.normal(key), jnp.zeros(())
-
-    def step(key, x, y):
-        x_new = (
-            0.5 * x
-            + 25.0 * x / (1.0 + x * x)
-            + jnp.sqrt(10.0) * jax.random.normal(key)
+        return (
+            jax.random.normal(key, (n_particles,)),
+            jnp.zeros((n_particles,)),
         )
-        lw = jax.scipy.stats.norm.logpdf(y, x_new * x_new / 20.0, 1.0)
-        return x_new, lw
 
-    pf = particle_filter(init, step, n_particles)
+    def step(key, xs, y):
+        xs_new = (
+            0.5 * xs
+            + 25.0 * xs / (1.0 + xs * xs)
+            + jnp.sqrt(10.0) * jax.random.normal(key, (n_particles,))
+        )
+        lw = jax.scipy.stats.norm.logpdf(y, xs_new * xs_new / 20.0, 1.0)
+        return xs_new, lw
+
+    pf = particle_filter(init, step, n_particles, batched=True)
     ys = jax.random.normal(jax.random.key(9), (n_steps,)) * 5.0
 
     def run(key):

@@ -43,6 +43,8 @@ def particle_filter(
     n_particles: int,
     ess_threshold: float = 0.5,
     resampling: str = "systematic",
+    batched: bool = False,
+    shard_constraint: Callable[[Any], Any] | None = None,
 ):
     """Generic particle filter.
 
@@ -51,18 +53,37 @@ def particle_filter(
     - ``step(key, state, obs_t) -> (state, log_incr_w)``: propagate one
       particle through one time step and weight it against ``obs_t``.
 
+    With ``batched=True``, ``init``/``step`` receive ONE key and operate on
+    whole ``(n_particles, ...)`` ensembles directly (array-level models):
+    this skips the per-particle ``fold_in`` key derivation — the fastest
+    path on TPU — at the cost of per-particle RNG determinism under
+    resharding.
+
     Returns ``run(key, observations) -> (FilterState, log_z_per_step)``
     executing the whole filter in one ``lax.scan``; incremental weights,
     ESS, and resampling decisions are ensemble-wide reductions (mesh
     collectives when the particle axis is sharded).
+
+    ``shard_constraint`` (optional): applied to the ensemble pytree after
+    init and after each propagation — pass a
+    ``with_sharding_constraint``-style function to pin the particle axis
+    to a mesh axis (see ``genjax_tpu.parallel.sharded_particle_filter``).
     """
+    constrain = shard_constraint if shard_constraint is not None else (
+        lambda tree: tree
+    )
 
     def run(key: jax.Array, observations: Any):
         k_init, k_scan = jax.random.split(key)
-        init_keys = jax.vmap(
-            lambda i: jax.random.fold_in(k_init, i)
-        )(jnp.arange(n_particles))
-        states, log_ws = jax.vmap(init)(init_keys)
+        if batched:
+            states, log_ws = init(k_init)
+        else:
+            init_keys = jax.vmap(
+                lambda i: jax.random.fold_in(k_init, i)
+            )(jnp.arange(n_particles))
+            states, log_ws = jax.vmap(init)(init_keys)
+        states = constrain(states)
+        log_ws = constrain(log_ws)
         state0 = FilterState(states, log_ws, jnp.zeros(()))
 
         def one_step(fs: FilterState, inp):
@@ -80,7 +101,9 @@ def particle_filter(
                 idx = resample_indices(
                     k_res, fs.log_weights, n_particles, resampling
                 )
-                particles = jtu.tree_map(lambda v: v[idx], fs.particles)
+                particles = constrain(
+                    jtu.tree_map(lambda v: v[idx], fs.particles)
+                )
                 # Invariant: logẐ_t = log_z + logsumexp(w) − log K;
                 # resampling absorbs the mass into log_z and resets w.
                 logz_delta = (
@@ -100,14 +123,17 @@ def particle_filter(
             )
 
             # Propagate + weight.
-            prop_keys = jax.vmap(
-                lambda i: jax.random.fold_in(k_prop, i)
-            )(jnp.arange(n_particles))
-            particles, incr = jax.vmap(
-                lambda k, s: step(k, s, obs_t)
-            )(prop_keys, fs.particles)
-            log_weights = fs.log_weights + incr
-            new_fs = FilterState(particles, log_weights, fs.log_z)
+            if batched:
+                particles, incr = step(k_prop, fs.particles, obs_t)
+            else:
+                prop_keys = jax.vmap(
+                    lambda i: jax.random.fold_in(k_prop, i)
+                )(jnp.arange(n_particles))
+                particles, incr = jax.vmap(
+                    lambda k, s: step(k, s, obs_t)
+                )(prop_keys, fs.particles)
+            log_weights = constrain(fs.log_weights + incr)
+            new_fs = FilterState(constrain(particles), log_weights, fs.log_z)
             return new_fs, fs.log_z + logsumexp(log_weights) - jnp.log(
                 n_particles
             )

@@ -10,6 +10,7 @@ from genjax_tpu.parallel.mesh import (
     replicated,
     shard_leading_axis,
 )
+from genjax_tpu.parallel.pf import sharded_particle_filter
 from genjax_tpu.parallel.smc import (
     sharded_importance,
     sharded_resample,
@@ -25,6 +26,7 @@ __all__ = [
     "replicated",
     "shard_leading_axis",
     "sharded_importance",
+    "sharded_particle_filter",
     "sharded_resample",
     "sharded_smc_step",
 ]
