@@ -28,6 +28,7 @@ from genjax_tpu.inference.requests import (
     selection_gradient,
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
+from genjax_tpu.inference.smc_sampler import TemperedSMCResult, tempered_smc
 from genjax_tpu.inference.smc import (
     ChangeTarget,
     Importance,
@@ -45,6 +46,8 @@ __all__ = [
     "HMC",
     "NUTS",
     "ParticleFilter",
+    "TemperedSMCResult",
+    "tempered_smc",
     "bootstrap_filter",
     "particle_filter",
     "build_test_against_exact_inference",

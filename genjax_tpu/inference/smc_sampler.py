@@ -1,0 +1,150 @@
+"""SMC samplers: tempered sequential Monte Carlo with MCMC rejuvenation —
+anneal from the prior to the posterior along a temperature ladder, with
+ensemble-wide reweighting / adaptive resampling / rejuvenation moves per
+rung, all inside one ``lax.scan`` (new scope: the reference has neither
+resampling nor move steps, SURVEY §2.2).
+
+Built generically on the GFI. The key identity: for any edit request whose
+weight is the full-posterior log-ratio (``Regenerate``, ``Rejuvenate``,
+``HMC`` — all reversible moves), the correct acceptance for the *tempered*
+target π_β ∝ p(z)·L(z)^β is
+
+    α_β = w_request + (β − 1)·Δ loglik,
+
+where ``loglik = trace.project(constrained addresses)`` — because
+``w_request`` is Δlog p_full (+ kinetic terms for HMC) and tempering only
+rescales the likelihood factor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from genjax_tpu.gfi.choice_map import ChoiceMap
+from genjax_tpu.gfi.concepts import EditRequest
+from genjax_tpu.inference.smc import effective_sample_size, resample_indices
+from genjax_tpu.inference.sp import Target
+
+__all__ = ["tempered_smc", "TemperedSMCResult"]
+
+
+class TemperedSMCResult(NamedTuple):
+    traces: Any           # vectorized particle traces (leading axis K)
+    log_weights: jax.Array
+    log_z: jax.Array      # estimate of log Z = log p(observations)
+    accept_rate: jax.Array  # mean rejuvenation acceptance per rung
+
+
+def tempered_smc(
+    target: Target,
+    n_particles: int,
+    n_temps: int = 20,
+    make_request: Callable[[], EditRequest] | None = None,
+    n_moves: int = 1,
+    ess_threshold: float = 0.5,
+    resampling: str = "systematic",
+):
+    """Build ``run(key) -> TemperedSMCResult`` annealing π_β from β=0
+    (prior) to β=1 (posterior) over a linear ladder of ``n_temps`` rungs.
+
+    ``make_request``: a thunk returning the rejuvenation move request
+    (default: ``Regenerate`` of all unconstrained addresses)."""
+    lik_sel = target.constraint.get_selection()
+
+    if make_request is None:
+        from genjax_tpu.gfi.requests import Regenerate
+
+        unconstrained = ~lik_sel
+
+        def make_request():
+            return Regenerate(unconstrained)
+
+    betas = jnp.linspace(0.0, 1.0, n_temps + 1)
+
+    def loglik_of(key, tr):
+        return tr.get_gen_fn().project(key, tr, lik_sel)
+
+    def run(key: jax.Array) -> TemperedSMCResult:
+        k_init, k_anneal = jax.random.split(key)
+        init_keys = jax.vmap(
+            lambda i: jax.random.fold_in(k_init, i)
+        )(jnp.arange(n_particles))
+        trs, _ = jax.vmap(
+            lambda k: target.importance(k, ChoiceMap.empty())
+        )(init_keys)
+        logliks = jax.vmap(lambda k, t: loglik_of(k, t))(init_keys, trs)
+
+        def rung(carry, inp):
+            t, beta_prev, beta = inp
+            trs, logliks, lw, log_z = carry
+            k_t = jax.random.fold_in(k_anneal, t)
+            k_res, k_move = jax.random.split(k_t)
+
+            # Reweight to the next temperature.
+            lw = lw + (beta - beta_prev) * logliks
+
+            # Adaptive resampling.
+            ess = effective_sample_size(lw)
+
+            def do_resample(args):
+                trs, lw, log_z = args
+                idx = resample_indices(k_res, lw, n_particles, resampling)
+                trs = jtu.tree_map(lambda v: v[idx], trs)
+                log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
+                return trs, jnp.zeros_like(lw), log_z
+
+            trs, lw, log_z = lax.cond(
+                ess < ess_threshold * n_particles,
+                do_resample,
+                lambda args: args,
+                (trs, lw, log_z),
+            )
+
+            # Rejuvenation moves at temperature `beta`.
+            def one_move(carry, m):
+                trs, logliks, acc = carry
+                move_key = jax.random.fold_in(k_move, m)
+
+                def per_particle(i, tr, loglik):
+                    pk = jax.random.fold_in(move_key, i)
+                    pk_edit, pk_lik, pk_acc = jax.random.split(pk, 3)
+                    new_tr, w, _rd, _bwd = tr.edit(pk_edit, make_request())
+                    new_loglik = loglik_of(pk_lik, new_tr)
+                    alpha = w + (beta - 1.0) * (new_loglik - loglik)
+                    accept = (
+                        jnp.log(jax.random.uniform(pk_acc, ())) < alpha
+                    )
+                    out_tr = jtu.tree_map(
+                        lambda a, b: jnp.where(accept, a, b), new_tr, tr
+                    )
+                    out_lik = jnp.where(accept, new_loglik, loglik)
+                    return out_tr, out_lik, accept
+
+                trs, logliks, accepts = jax.vmap(per_particle)(
+                    jnp.arange(n_particles), trs, logliks
+                )
+                return (trs, logliks, acc + jnp.mean(accepts)), None
+
+            (trs, logliks, acc), _ = lax.scan(
+                one_move, (trs, logliks, jnp.zeros(())), jnp.arange(n_moves)
+            )
+            return (trs, logliks, lw, log_z), acc / n_moves
+
+        init_carry = (
+            trs, logliks, jnp.zeros(n_particles), jnp.zeros(())
+        )
+        (trs, logliks, lw, log_z), accs = lax.scan(
+            rung,
+            init_carry,
+            (jnp.arange(n_temps), betas[:-1], betas[1:]),
+        )
+        log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
+        return TemperedSMCResult(trs, lw, log_z, accs)
+
+    return run
