@@ -1,0 +1,19 @@
+"""Reusable model families with exact oracles where available."""
+
+from genjax_tpu.models.ssm import (
+    kalman_filter,
+    lgssm_model,
+    nonlinear_tracking_model,
+)
+from genjax_tpu.models.regression import hierarchical_regression
+from genjax_tpu.models.mixture import gaussian_mixture
+from genjax_tpu.models.hmm import hmm_model
+
+__all__ = [
+    "gaussian_mixture",
+    "hierarchical_regression",
+    "hmm_model",
+    "kalman_filter",
+    "lgssm_model",
+    "nonlinear_tracking_model",
+]

@@ -1,0 +1,68 @@
+"""State-space model families: linear-Gaussian (with exact Kalman oracle)
+and the benchmark nonlinear tracking model."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from genjax_tpu.lang.static import gen
+from genjax_tpu.lang.distributions import normal
+
+__all__ = ["lgssm_model", "kalman_filter", "nonlinear_tracking_model"]
+
+
+def lgssm_model(a: float, q: float, r: float, n_steps: int):
+    """1-D linear-Gaussian SSM as a scanned gen fn:
+    x_t = a·x_{t-1} + N(0, q);  y_t = x_t + N(0, r).
+    Latents at ``(t, "x")``, observations at ``(t, "y")``."""
+
+    @gen
+    def step(carry, _):
+        x_prev = carry
+        x = normal(a * x_prev, jnp.sqrt(q)) @ "x"
+        _ = normal(x, jnp.sqrt(r)) @ "y"
+        return x, x
+
+    return step.scan(n=n_steps)
+
+
+def kalman_filter(ys, a, q, r, mu0=0.0, p0=1.0):
+    """Exact log-likelihood + filtered means for the 1-D LGSSM where the
+    first latent is x_1 ~ N(a·mu0, a²p0 + q)."""
+
+    def step(carry, y):
+        mu, p, ll = carry
+        # predict
+        mu, p = a * mu, a * a * p + q
+        # update
+        s = p + r
+        ll = ll - 0.5 * (jnp.log(2 * jnp.pi * s) + (y - mu) ** 2 / s)
+        k_gain = p / s
+        mu = mu + k_gain * (y - mu)
+        p = (1 - k_gain) * p
+        return (mu, p, ll), mu
+
+    (mu, p, ll), mus = jax.lax.scan(
+        step, (jnp.asarray(mu0), jnp.asarray(p0), jnp.zeros(())), ys
+    )
+    return ll, mus
+
+
+def nonlinear_tracking_model():
+    """The classic nonlinear benchmark (Gordon et al. 1993):
+    x_t = x/2 + 25x/(1+x²) + N(0,10);  y_t = x²/20 + N(0,1).
+    Returns ``(init, step)`` callables for ``particle_filter``."""
+
+    def init(key):
+        return jax.random.normal(key), jnp.zeros(())
+
+    def step(key, x, y):
+        x_new = (
+            0.5 * x + 25.0 * x / (1.0 + x * x)
+            + jnp.sqrt(10.0) * jax.random.normal(key)
+        )
+        lw = jax.scipy.stats.norm.logpdf(y, x_new * x_new / 20.0, 1.0)
+        return x_new, lw
+
+    return init, step
