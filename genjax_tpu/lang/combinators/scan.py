@@ -22,7 +22,11 @@ import jax.tree_util as jtu
 from jax import lax
 
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.core.compiler.interpreters.incremental import Diff
+from genjax_tpu.core.compiler.interpreters.incremental import (
+    Diff,
+    NoChange,
+    UnknownChange,
+)
 from genjax_tpu.gfi.choice_map import ChoiceMap, Indexed
 from genjax_tpu.gfi.concepts import (
     Argdiffs,
@@ -173,35 +177,22 @@ class Scan(GenerativeFunction[Any]):
         n = self._n(args)
 
         if isinstance(request, IndexRequest):
-            sub_per_step = None
-            target_idx = jnp.asarray(request.idx)
+            return self._edit_index_fast(key, trace, request, args, n)
         elif isinstance(request, (Update, Regenerate)):
-            sub_per_step = request
-            target_idx = None
+            pass
         else:
             raise NotImplementedError(
                 f"Scan does not support {type(request).__name__}"
             )
+        target_idx = None
 
         def step(carry, inp):
             i, x, inner_tr = inp
             sub_key = jax.random.fold_in(key, i)
             if isinstance(request, Update):
                 sub_req: EditRequest = Update(request.constraint.get_submap(i))
-            elif isinstance(request, Regenerate):
+            else:
                 sub_req = Regenerate(request.selection(i))
-            else:  # IndexRequest: apply subrequest only at the target step.
-                sub = getattr(request.subrequest, "constraint", None)
-                if sub is not None:
-                    gated = sub.mask(i == target_idx)
-                    sub_req = Update(gated)
-                else:
-                    sel = getattr(request.subrequest, "selection", None)
-                    assert sel is not None, (
-                        "IndexRequest subrequest must be Update or "
-                        "Regenerate for Scan"
-                    )
-                    sub_req = Regenerate(sel.mask(i == target_idx))
             step_diffs = (Diff.unknown_change((carry, x)))
             new_tr, w, _rd, bwd = sub_req.edit(sub_key, inner_tr, step_diffs)
             new_carry, out = new_tr.get_retval()
@@ -216,16 +207,96 @@ class Scan(GenerativeFunction[Any]):
         )
         new_trace = ScanTrace(self, new_inner, args, (final, outs), n)
         retdiff = Diff.unknown_change(new_trace.get_retval())
-        if isinstance(request, Update) or (
-            isinstance(request, IndexRequest)
-            and isinstance(request.subrequest, Update)
-        ):
+        if isinstance(request, Update):
             bwd: EditRequest = Update(Indexed(discards, jnp.arange(n)))
-        elif isinstance(request, Regenerate):
-            bwd = Regenerate(request.selection)
         else:
-            bwd = request
+            bwd = Regenerate(request.selection)
         return new_trace, jnp.sum(ws), retdiff, bwd
+
+    def _edit_index_fast(self, key: jax.Array, trace: ScanTrace,
+                         request: IndexRequest, args, n: int):
+        """O(1) single-step repair (reference ``scan.py:325-416``): edit
+        step t, re-score step t+1 under the (possibly changed) carry, and
+        require — via an opt-in checkify assertion, in place of the
+        reference's trace-time assert — that the carry out of step t+1 is
+        unchanged, so no further steps are affected."""
+        from genjax_tpu.core.checks import optional_check
+        from jax.experimental import checkify
+
+        t_idx = jnp.asarray(request.idx)
+        init, xs = args
+
+        # -- repair step t -------------------------------------------------
+        sub_t = jtu.tree_map(lambda v: v[t_idx], trace.inner)
+        k_t, k_next = jax.random.split(key)
+        args_t = sub_t.get_args()
+        new_sub_t, w_t, _rd, bwd_t = request.subrequest.edit(
+            k_t, sub_t, Diff.no_change(args_t)
+        )
+        carry_out_t, out_t = new_sub_t.get_retval()
+
+        # -- propagate to step t+1 (clipped; weight gated for t = n−1) ----
+        t_next = jnp.minimum(t_idx + 1, n - 1)
+        has_next = t_idx < (n - 1)
+        sub_next = jtu.tree_map(lambda v: v[t_next], trace.inner)
+        old_carry_next, _old_out_next = sub_next.get_retval()
+        (_old_carry_in, x_next) = sub_next.get_args()
+        next_diffs = (
+            Diff.tree_diff(carry_out_t, UnknownChange),
+            Diff.tree_diff(x_next, NoChange),
+        )
+        new_sub_next, w_next, _rd2, _bwd2 = Update(ChoiceMap.empty()).edit(
+            k_next, sub_next, next_diffs
+        )
+        new_carry_next, out_next = new_sub_next.get_retval()
+
+        def check():
+            same = jtu.tree_all(jtu.tree_map(
+                lambda a, b: jnp.all(jnp.isclose(a, b)),
+                new_carry_next, old_carry_next,
+            ))
+            checkify.check(
+                jnp.asarray(same) | ~has_next,
+                "Scan IndexRequest: the carry changed past step idx+1; "
+                "use a full Update/Regenerate edit instead.",
+            )
+
+        optional_check(check)
+
+        # -- scatter repaired steps back ----------------------------------
+        def put(batched, at, value):
+            return jtu.tree_map(
+                lambda b, v: b.at[at].set(v), batched, value
+            )
+
+        new_inner = put(trace.inner, t_idx, new_sub_t)
+        # When t is the last step, t_next clips to t itself — the second
+        # write must then re-write the repaired subtrace, not the old one.
+        guarded_next = jtu.tree_map(
+            lambda new, repaired: jnp.where(has_next, new, repaired),
+            new_sub_next, new_sub_t,
+        )
+        new_inner = put(new_inner, t_next, guarded_next)
+
+        final, outs = trace.retval
+        outs = put(outs, t_idx, out_t)
+        outs = jtu.tree_map(
+            lambda o, v, old: o.at[t_next].set(
+                jnp.where(has_next, v, old)
+            ),
+            outs, out_next, jtu.tree_map(lambda v: v[t_next], outs),
+        )
+        final = jtu.tree_map(
+            lambda f, c_t, c_n: jnp.where(
+                t_idx == n - 1, c_t, jnp.where(t_idx == n - 2, c_n, f)
+            ),
+            final, carry_out_t, new_carry_next,
+        )
+
+        new_trace = ScanTrace(self, new_inner, args, (final, outs), n)
+        w = w_t + jnp.where(has_next, w_next, 0.0)
+        retdiff = Diff.unknown_change(new_trace.get_retval())
+        return new_trace, w, retdiff, IndexRequest(t_idx, bwd_t)
 
 
 def scan(*, n: int | None = None) -> Callable:

@@ -446,3 +446,71 @@ class TestSwitchIndexChange:
         v = v.unmask() if isinstance(v, g.Mask) else v
         assert bool(v) is True
         assert jnp.allclose(new_tr.get_score(), jnp.log(0.9), atol=1e-6)
+
+
+class TestScanIndexRequest:
+    def test_single_step_repair(self):
+        """Observation-style model: the carry never depends on the edited
+        choice, so the O(1) repair applies."""
+
+        @g.gen
+        def step(carry, _):
+            x = g.normal(carry, 0.5) @ "x"
+            _ = g.normal(x, 0.3) @ "y"
+            return carry + 1.0, x
+
+        sc = step.scan(n=5)
+        tr = sc.simulate(KEY, (0.0, None))
+        req = g.IndexRequest(2, g.Update(g.C["y"].set(0.9)))
+        new_tr, w, _, bwd = tr.edit(jax.random.key(1), req)
+        assert jnp.allclose(new_tr.get_choices()[2, "y"], 0.9)
+        # other steps untouched:
+        assert jnp.allclose(
+            new_tr.get_choices()[3, "y"], tr.get_choices()[3, "y"]
+        )
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+        # backward inverts:
+        back_tr, w_b, _, _ = new_tr.edit(jax.random.key(2), bwd)
+        assert jnp.allclose(w + w_b, 0.0, atol=1e-5)
+
+    def test_repair_at_last_step(self):
+        @g.gen
+        def step(carry, _):
+            x = g.normal(carry, 0.5) @ "x"
+            return carry * 1.0, x
+
+        sc = step.scan(n=3)
+        tr = sc.simulate(KEY, (1.0, None))
+        req = g.IndexRequest(2, g.Update(g.C["x"].set(0.0)))
+        new_tr, w, _, _ = tr.edit(jax.random.key(1), req)
+        assert jnp.allclose(new_tr.get_choices()[2, "x"], 0.0)
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+    def test_carry_dependent_repair_propagates_one_step(self):
+        """Markov model where x feeds the carry: step t+1 is rescored."""
+
+        @g.gen
+        def step(carry, _):
+            x = g.normal(carry, 1.0) @ "x"
+            return x, x
+
+        sc = step.scan(n=4)
+        tr = sc.simulate(KEY, (0.0, None))
+        req = g.IndexRequest(1, g.Update(g.C["x"].set(0.5)))
+        new_tr, w, _, _ = tr.edit(jax.random.key(1), req)
+        assert jnp.allclose(new_tr.get_choices()[1, "x"], 0.5)
+        # weight accounts for step 1 (constrained) and step 2 (rescored):
+        import jax.scipy.stats as jss
+
+        c = tr.get_choices()
+        want = (
+            jss.norm.logpdf(0.5, c[0, "x"], 1.0)
+            - jss.norm.logpdf(c[1, "x"], c[0, "x"], 1.0)
+            + jss.norm.logpdf(c[2, "x"], 0.5, 1.0)
+            - jss.norm.logpdf(c[2, "x"], c[1, "x"], 1.0)
+        )
+        assert jnp.allclose(w, want, atol=1e-5)
