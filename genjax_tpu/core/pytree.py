@@ -129,6 +129,17 @@ class Pytree:
         """Functional field update (dataclasses.replace)."""
         return dataclasses.replace(self, **updates)
 
+    def render_html(self) -> str:
+        """HTML rendering (parity: reference ``pytree.py:220-224``)."""
+        from genjax_tpu.utils.pretty import render_html
+
+        return render_html(self)
+
+    def pformat(self) -> str:
+        from genjax_tpu.utils.pretty import pformat
+
+        return pformat(self)
+
     def __repr__(self) -> str:
         if dataclasses.is_dataclass(self):
             parts = []
@@ -166,6 +177,11 @@ class Const(Pytree, Generic[T]):
     def unwrap(v: Any) -> Any:
         """``Const`` → payload; anything else unchanged."""
         return v.value if isinstance(v, Const) else v
+
+
+def nth(tree: Any, idx: int) -> Any:
+    """Index every leaf of ``tree`` (parity: reference ``pytree.py:337``)."""
+    return jtu.tree_map(lambda v: v[idx], tree)
 
 
 @Pytree.dataclass

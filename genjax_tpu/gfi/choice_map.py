@@ -192,6 +192,35 @@ class ChoiceMap(Pytree):
             return chms[idx]
         return Switch(jnp.asarray(idx), tuple(chms))
 
+    def invalid_subset(self, gen_fn, args: tuple) -> "ChoiceMap | None":
+        """The subset of this choice map whose addresses do NOT appear in
+        ``gen_fn``'s trace structure on ``args`` — a validation helper for
+        typo'd constraints. Returns ``None`` when everything matches.
+
+        Parity: reference ``choice_map.py:1358``."""
+        from genjax_tpu.core.compiler.staging import empty_trace
+
+        shape_chm = empty_trace(gen_fn, args).get_choices()
+        invalid = self.filter(~shape_chm.get_selection())
+
+        def has_any_value(chm) -> bool:
+            if chm.static_is_empty():
+                return False
+            if chm.get_value() is not None:
+                return True
+            keys = getattr(chm, "keys", None)
+            if keys is not None:
+                return any(has_any_value(s) for s in chm.submaps)
+            inner = getattr(chm, "inner", None)
+            if inner is not None:
+                return has_any_value(inner)
+            left = getattr(chm, "left", None)
+            if left is not None:
+                return has_any_value(left) or has_any_value(chm.right)
+            return True  # conservative for exotic nodes
+
+        return invalid if has_any_value(invalid) else None
+
     # -- builder ----------------------------------------------------------
 
     @property
@@ -426,6 +455,11 @@ class Or(ChoiceMap):
 
     def get_inner_map(self, comp) -> ChoiceMap:
         return self.left.get_inner_map(comp) | self.right.get_inner_map(comp)
+
+    def filter(self, selection) -> ChoiceMap:
+        # Eager: distribute over the union so statically-excluded branches
+        # prune away (filter is monotone w.r.t. the left-biased merge).
+        return self.left.filter(selection) | self.right.filter(selection)
 
 
 @Pytree.dataclass

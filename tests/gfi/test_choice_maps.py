@@ -177,3 +177,30 @@ class TestJitCompat:
         chm = ChoiceMap.choice(jnp.asarray(5.0))
         assert f(chm, jnp.asarray(True)) == 5.0
         assert f(chm, jnp.asarray(False)) == -1.0
+
+
+class TestInvalidSubset:
+    def test_detects_typo(self):
+        import genjax_tpu as g
+
+        @g.gen
+        def model():
+            x = g.normal(0.0, 1.0) @ "x"
+            return x
+
+        bad = g.C["x"].set(1.0) | g.C["tpyo"].set(2.0)
+        invalid = bad.invalid_subset(model, ())
+        assert invalid is not None
+        assert invalid["tpyo"] == 2.0
+
+    def test_all_valid_returns_none(self):
+        import genjax_tpu as g
+
+        @g.gen
+        def model():
+            x = g.normal(0.0, 1.0) @ "x"
+            y = g.normal(x, 1.0) @ "y"
+            return y
+
+        ok = g.C["x"].set(1.0) | g.C["y"].set(0.5)
+        assert ok.invalid_subset(model, ()) is None
