@@ -25,7 +25,7 @@ from genjax_tpu.gfi.choice_map import ChoiceMap
 from genjax_tpu.gfi.gfn import GenerativeFunction, Trace
 from genjax_tpu.inference.smc import (
     effective_sample_size,
-    resample_indices,
+    resample_tree,
 )
 
 __all__ = ["ParticleFilter", "particle_filter", "bootstrap_filter"]
@@ -98,12 +98,10 @@ def particle_filter(
             ess = effective_sample_size(fs.log_weights)
 
             def do_resample(fs: FilterState) -> FilterState:
-                idx = resample_indices(
-                    k_res, fs.log_weights, n_particles, resampling
-                )
-                particles = constrain(
-                    jtu.tree_map(lambda v: v[idx], fs.particles)
-                )
+                particles = constrain(resample_tree(
+                    k_res, fs.log_weights, fs.particles, n_particles,
+                    resampling,
+                ))
                 # Invariant: logẐ_t = log_z + logsumexp(w) − log K;
                 # resampling absorbs the mass into log_z and resets w.
                 logz_delta = (

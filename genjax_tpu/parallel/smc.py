@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from genjax_tpu.gfi.choice_map import ChoiceMap
-from genjax_tpu.inference.smc import ParticleCollection, resample_indices
+from genjax_tpu.inference.smc import ParticleCollection, resample_tree
 from genjax_tpu.inference.sp import Target
 from genjax_tpu.parallel.mesh import Mesh, NamedSharding, P, shard_leading_axis
 
@@ -69,8 +69,9 @@ def sharded_resample(
     the particle state is the bandwidth-heavy step and stays sharded — XLA
     lowers it to an all-to-all along the particle axis."""
     n = collection.num_particles()
-    idx = resample_indices(key, collection.get_log_weights(), n, method)
-    new_particles = jtu.tree_map(lambda v: v[idx], collection.particles)
+    new_particles = resample_tree(
+        key, collection.get_log_weights(), collection.particles, n, method
+    )
     new_particles = shard_leading_axis(new_particles, mesh, axis_name)
     logz = collection.get_log_marginal_likelihood_estimate()
     lw = shard_leading_axis(jnp.full((n,), logz), mesh, axis_name)
