@@ -16,6 +16,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+import jax.scipy.special as jsp
 import jax.scipy.stats as jss
 
 from genjax_tpu.core.pytree import Pytree
@@ -282,12 +283,39 @@ class UniformREPARAM(ADEVPrimitive):
         return kdual(key, Dual(u, jnp.zeros_like(u)))
 
 
+def _beta_cdf_param_partials(x, a, b, n_nodes: int = 64):
+    """(∂F/∂a, ∂F/∂b) of the Beta CDF at x, by Gauss–Legendre quadrature of
+    ∂F/∂a = ∫₀ˣ f(t)[ln t − (ψ(a) − ψ(a+b))] dt (and symmetrically for b)
+    — ``jax.scipy.special.betainc`` has no parameter gradients."""
+    import numpy as _np
+
+    nodes, weights = _np.polynomial.legendre.leggauss(n_nodes)
+    u = jnp.asarray((nodes + 1.0) / 2.0)          # (n,) on (0, 1)
+    w = jnp.asarray(weights / 2.0)
+    t = x * u
+    log_f = (
+        (a - 1.0) * jnp.log(t)
+        + (b - 1.0) * jnp.log1p(-t)
+        - (jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))
+    )
+    f = jnp.exp(log_f)
+    psi_ab = jsp.digamma(a + b)
+    dFda = x * jnp.sum(
+        w * f * (jnp.log(t) - (jsp.digamma(a) - psi_ab))
+    )
+    dFdb = x * jnp.sum(
+        w * f * (jnp.log1p(-t) - (jsp.digamma(b) - psi_ab))
+    )
+    return dFda, dFdb
+
+
 @Pytree.dataclass
 class BetaIMPLICIT(ADEVPrimitive):
     """Beta(a, b) via implicit reparameterization (Figurnov et al. 2018):
-    dx/dθ = −(∂F/∂θ)/p(x;θ), with ∂F/∂θ computed by differentiating
-    ``betainc``. Parity: reference ``primitives.py:392-420`` (TFP's
-    implicit-gradient sampler)."""
+    dx/dθ = −(∂F/∂θ)/p(x;θ), with the CDF's parameter partials computed by
+    quadrature (JAX's ``betainc`` lacks parameter gradients). Parity:
+    reference ``primitives.py:392-420`` (TFP's implicit-gradient
+    sampler)."""
 
     def sample(self, key, a, b):
         return jr.beta(key, a, b)
@@ -296,27 +324,13 @@ class BetaIMPLICIT(ADEVPrimitive):
         _, kdual = konts
         a_dual, b_dual = dual_args
         key, sub_key = jax.random.split(key)
-
-        def sample_implicit(a, b):
-            x = jr.beta(sub_key, a, b)
-            x = jax.lax.stop_gradient(x)
-
-            # Implicit derivative through the CDF:
-            def cdf(a, b):
-                return jax.scipy.special.betainc(a, b, x)
-
-            pdf = jnp.exp(jss.beta.logpdf(x, a, b))
-            return x - cdf(a, b) / jax.lax.stop_gradient(pdf)
-
-        # The value of sample_implicit equals x - const; correct the primal
-        # while keeping its tangent.
-        primal_out, tangent_out = jax.jvp(
-            sample_implicit,
-            (a_dual.primal, b_dual.primal),
-            (a_dual.tangent, b_dual.tangent),
-        )
-        x = jr.beta(sub_key, a_dual.primal, b_dual.primal)
-        return kdual(key, Dual(x, tangent_out))
+        a, b = a_dual.primal, b_dual.primal
+        x = jr.beta(sub_key, a, b)
+        dFda, dFdb = _beta_cdf_param_partials(x, a, b)
+        pdf = jnp.exp(jss.beta.logpdf(x, a, b))
+        denom = jnp.maximum(pdf, 1e-30)
+        x_tan = -(dFda * a_dual.tangent + dFdb * b_dual.tangent) / denom
+        return kdual(key, Dual(x, x_tan))
 
 
 @Pytree.dataclass

@@ -90,3 +90,48 @@ class TestVI:
             (dtheta,) = jitted(jax.random.fold_in(KEY, i), (theta,))
             theta = theta - lr * dtheta
         assert jnp.abs(theta - 0.8) < 1e-1
+
+
+class TestPWake:
+    def test_pwake_trains_model_param(self):
+        """Wake-phase gradient moves the model parameter toward the data
+        under a fixed posterior approximation."""
+
+        @g.gen
+        def model(theta):
+            mu = g.normal(theta, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "v"
+
+        @marginal()
+        @g.gen
+        def posterior_approx(target):
+            _ = vi.normal_reparam(2.0, 0.3) @ "mu"
+
+        loss_grad = vi.PWake(
+            posterior_approx,
+            lambda theta: Target(model, (theta,), g.C["v"].set(2.0)),
+        )
+        theta = jnp.asarray(0.0)
+        jitted = jax.jit(loss_grad)
+        for i in range(200):
+            (dt,) = jitted(jax.random.fold_in(KEY, i), (theta,))
+            theta = theta - 0.02 * dt
+        # -E[log p(mu,v;theta)] is minimized at theta = E_q[mu] = 2.0.
+        assert jnp.abs(theta - 2.0) < 0.1
+
+
+class TestBetaImplicit:
+    def test_beta_implicit_gradient(self):
+        """d/da E[x], x ~ Beta(a, b) equals b/(a+b)^2 (implicit reparam)."""
+        from genjax_tpu.adev import beta_implicit as prim
+        from genjax_tpu.adev import expectation
+
+        @expectation
+        def loss(a):
+            x = prim(a, 2.0)
+            return x
+
+        keys = jax.random.split(KEY, 3000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.5,))[0])(keys)
+        want = 2.0 / (1.5 + 2.0) ** 2
+        assert jnp.abs(gs.mean() - want) < 0.02
