@@ -2,6 +2,7 @@
 
 from genjax_tpu.adev.core import (
     ADEVPrimitive,
+    TailCallADEVPrimitive,
     ADEVProgram,
     Dual,
     Expectation,
@@ -15,6 +16,7 @@ from genjax_tpu.adev.primitives import __all__ as _prims_all
 __all__ = [
     "ADEVPrimitive",
     "ADEVProgram",
+    "TailCallADEVPrimitive",
     "Dual",
     "Expectation",
     "expectation",

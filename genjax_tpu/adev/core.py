@@ -68,6 +68,22 @@ class ADEVPrimitive(Pytree):
         return sample_primitive(self, *args)
 
 
+class TailCallADEVPrimitive(ADEVPrimitive):
+    """A primitive whose estimate tail-calls the continuation with a Dual
+    computed locally (no use of the pure continuation) — the common case
+    for reparameterized samplers. Subclasses implement
+    ``before_tail_call(key, dual_args) -> Dual``.
+
+    Parity: reference ``adev/core.py:86-132``."""
+
+    def before_tail_call(self, key, dual_args) -> "Dual":
+        raise NotImplementedError
+
+    def jvp_estimate(self, key, dual_args, konts):
+        _, kdual = konts
+        return kdual(key, self.before_tail_call(key, dual_args))
+
+
 sample_p = InitialStylePrimitive("adev_sample")
 
 

@@ -107,6 +107,14 @@ class Mask(Pytree, Generic[T]):
     def primal_flag(self) -> Flag:
         return self.flag
 
+    def flatten(self) -> "Mask[T]":
+        """Collapse nested masks: ``Mask(Mask(v, f1), f2)`` →
+        ``Mask(v, f1 & f2)``. Parity: reference
+        ``functional_types.py:211-231``."""
+        if isinstance(self.value, Mask):
+            return Mask.build(self.value, self.flag).flatten()
+        return self
+
     def __getitem__(self, idx) -> "Mask[T]":
         """Index into batch dimensions of both value and flag."""
         new_value = jtu.tree_map(lambda v: v[idx], self.value)
