@@ -123,11 +123,12 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
                   n: int, method: str = "systematic"):
     """Resample every leaf of ``tree`` (leading axis = particles).
 
-    Systematic uses offspring counts + ``jnp.repeat`` — measured ~9x
-    faster than ancestor-index gathers at 1M on TPU (repeat's XLA lowering
-    avoids the serialized random gather). Other methods fall back to
-    ancestor gathers."""
-    if method == "systematic":
+    Backend-dispatched implementation of the systematic method, from
+    end-to-end A/B measurements of the full filter loop at 1M particles:
+    on TPU the sorted ancestor gather wins (55M vs 33M particle-steps/s);
+    on CPU offspring-counts + ``jnp.repeat`` is ~2x faster. Both are
+    bitwise-equivalent resamplings of the same uniform grid."""
+    if method == "systematic" and jax.default_backend() != "tpu":
         counts = systematic_offspring_counts(key, log_weights, n)
         return jtu.tree_map(
             lambda v: jnp.repeat(
