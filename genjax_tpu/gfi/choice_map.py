@@ -338,6 +338,19 @@ class Static(ChoiceMap):
         return dict(zip(self.keys, self.submaps))
 
 
+def _lane_slice(tree, pos, n: int):
+    """Index the lane axis of every leaf that actually HAS it; leaves
+    without a leading lane axis of length ``n`` (e.g. scalar mask flags
+    broadcast across lanes) pass through unchanged."""
+
+    def pick(v):
+        if jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n:
+            return v[pos]
+        return v
+
+    return jtu.tree_map(pick, tree)
+
+
 @Pytree.dataclass
 class Indexed(ChoiceMap):
     """Dynamic-index node: ``inner`` has a leading batch dimension (or is a
@@ -345,11 +358,28 @@ class Indexed(ChoiceMap):
     each lane. Lookup of component ``j`` returns the lane where
     ``idx == j``, masked by membership.
 
+    ``idx=None`` (the canonical case built by Vmap/Scan traces) means
+    "lane i is addressed by i" — derived from the leaf shapes at lookup
+    time, so batched gathers of nested choice maps stay consistent (an
+    explicit ``arange`` stored as a leaf would be corrupted by outer
+    gathers).
+
     Parity: reference ``choice_map.py:1453-1531``.
     """
 
     inner: ChoiceMap
-    idx: Any
+    idx: Any = None
+
+    def _n(self) -> int:
+        leaves = jtu.tree_leaves(self.inner)
+        if not leaves:
+            return 0
+        return jnp.shape(leaves[0])[0]
+
+    def _get_idx(self):
+        if self.idx is None:
+            return jnp.arange(self._n())
+        return jnp.asarray(self.idx)
 
     def get_value(self):
         return None
@@ -357,7 +387,8 @@ class Indexed(ChoiceMap):
     def get_inner_map(self, comp) -> ChoiceMap:
         if isinstance(comp, str):
             return Empty()
-        idx = jnp.asarray(self.idx)
+        idx = self._get_idx()
+        n = idx.shape[0] if idx.ndim else 0
         # Concrete fast path: fold the gather + mask away entirely.
         if (
             isinstance(comp, int)
@@ -366,16 +397,14 @@ class Indexed(ChoiceMap):
         ):
             import numpy as _np
 
-            host_idx = _np.asarray(idx)
-            hits = _np.nonzero(host_idx == comp)[0]
+            hits = _np.nonzero(_np.asarray(idx) == comp)[0]
             if len(hits) == 0:
                 return Empty()
-            lane = jtu.tree_map(lambda v: v[int(hits[0])], self.inner)
-            return lane
+            return _lane_slice(self.inner, int(hits[0]), n)
         if isinstance(comp, slice):
             if idx.ndim == 0:
                 return self
-            sliced = jtu.tree_map(lambda v: v[comp], self.inner)
+            sliced = _lane_slice(self.inner, comp, n)
             return Indexed(sliced, idx[comp])
         comp = jnp.asarray(comp)
         if idx.ndim == 0:
@@ -387,17 +416,17 @@ class Indexed(ChoiceMap):
                 idx[None, :] == comp[:, None], axis=1
             )
             found = jnp.any(idx[None, :] == comp[:, None], axis=1)
-            gathered = jtu.tree_map(lambda v: v[pos], self.inner)
+            gathered = _lane_slice(self.inner, pos, n)
             return gathered.mask(found)
         pos = jnp.argmax(idx == comp)
         found = jnp.any(idx == comp)
-        lane = jtu.tree_map(lambda v: v[pos], self.inner)
+        lane = _lane_slice(self.inner, pos, n)
         return lane.mask(found)
 
     def filter(self, selection) -> ChoiceMap:
         if not isinstance(selection, Selection):
             selection = AllSel().mask(selection)
-        sub = selection.get_subselection(self.idx)
+        sub = selection.get_subselection(self._get_idx())
         filtered = self.inner.filter(sub)
         if filtered.static_is_empty():
             return Empty()

@@ -72,11 +72,15 @@ def selection_gradient(selection: Selection, trace: Trace[Any],
 
     gradient = jax.grad(differentiable_assess)(grad_tree)
     values = _grad_zip(grad_tree, nongrad_tree)
+    def zero_fill(g, v):
+        if g is not None:
+            return g
+        if v is None:  # structural None (e.g. canonical Indexed.idx)
+            return None
+        return jnp.zeros_like(jnp.asarray(v))
+
     grads = jtu.tree_map(
-        lambda g, v: jnp.zeros_like(jnp.asarray(v)) if g is None else g,
-        gradient,
-        values,
-        is_leaf=lambda x: x is None,
+        zero_fill, gradient, values, is_leaf=lambda x: x is None
     )
     return values, grads
 

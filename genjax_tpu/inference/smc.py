@@ -304,6 +304,19 @@ class SMCAlgorithm(Algorithm):
         self, key: jax.Array, target: Target, latent_choices: ChoiceMap,
         w: Weight,
     ) -> Weight:
+        """−logẐ from the retained-pair CSMC ensemble (``exp`` of the
+        result is the ADH unbiased reciprocal estimate given the pair)."""
+        alg = ChangeTarget(self, target)
+        return -alg.run_csmc_for_normalizing_constant(
+            key, latent_choices, w
+        )
+
+    def estimate_marginal_density(
+        self, key: jax.Array, target: Target, latent_choices: ChoiceMap,
+        w: Weight,
+    ) -> Weight:
+        """+logẐ — the log marginal density estimate of the target's
+        constraint, reusing the properly-weighted retained pair."""
         alg = ChangeTarget(self, target)
         return alg.run_csmc_for_normalizing_constant(key, latent_choices, w)
 
@@ -468,11 +481,19 @@ class ChangeTarget(SMCAlgorithm):
     def run_csmc_for_normalizing_constant(
         self, key: jax.Array, latent_choices: ChoiceMap, w: Weight
     ) -> Weight:
-        """Reciprocal-normalizing-constant estimate that reuses the already
-        properly-weighted retained pair ``(latent_choices, w)`` — avoiding a
-        redundant reweighting that would add gradient variance.
+        """Normalizing-constant (logẐ) estimate from a CSMC ensemble that
+        retains the already properly-weighted pair ``(latent_choices, w)``
+        — avoiding a redundant reweighting that would add gradient
+        variance. Conditioned on the retained pair, ``exp(−logẐ)`` is the
+        ADH unbiased reciprocal estimate.
 
-        Parity: reference ``smc.py:432-465``."""
+        Deviation from the reference (``smc.py:432-465``): the reference
+        returns ``retained_score − (logẐ_sum − log K)``, which degenerates
+        to 0 when nothing is marginalized — making ``Marginal``-as-guide
+        weights vanish (and silently dropping the entropy term from
+        ELBO-style objectives). The correct quantity is the logẐ estimate
+        itself; see tests/inference/test_smc.py and the Marginal-as-
+        proposal test in tests/lang/test_composition_stress.py."""
         key, sub_key = jax.random.split(key)
         collection = self.prev.run_csmc(sub_key, latent_choices)
         n = self.get_num_particles()
@@ -495,5 +516,4 @@ class ChangeTarget(SMCAlgorithm):
         all_weights = jnp.concatenate(
             [rejected, (w - retained_score + retained_weight)[None]]
         )
-        total = logsumexp(all_weights)
-        return retained_score - (total - jnp.log(n))
+        return logsumexp(all_weights) - jnp.log(n)

@@ -109,7 +109,7 @@ class Marginal(SampleDistribution):
     def random_weighted(self, key: jax.Array, *args):
         from genjax_tpu.inference.smc import Importance
 
-        key, sub_key = jax.random.split(key)
+        key, sub_key, proj_key = jax.random.split(key, 3)
         tr = self.gen_fn.simulate(key, args)
         choices = tr.get_choices()
         selection = self.selection.value
@@ -117,10 +117,16 @@ class Marginal(SampleDistribution):
         other = choices.filter(~selection)
         target = Target(self.gen_fn, args, latent)
         alg = self.algorithm or Importance(target)
-        z = alg.estimate_reciprocal_normalizing_constant(
-            sub_key, target, other, tr.get_score()
+        # The retained pair (other, w) must be PROPERLY weighted for the
+        # conditional target: w = joint − ancestral-prior(other)
+        # = project(selection) — not the raw full score (which the
+        # reference passes, `sp.py:231`, making weights degenerate when
+        # nothing is marginalized).
+        w_proper = tr.project(proj_key, selection)
+        log_density_est = alg.estimate_marginal_density(
+            sub_key, target, other, w_proper
         )
-        return z, latent
+        return log_density_est, latent
 
     def estimate_logpdf(self, key: jax.Array, latent: ChoiceMap, *args):
         from genjax_tpu.inference.smc import Importance

@@ -78,7 +78,7 @@ class ScanTrace(Trace[Any]):
         return jnp.sum(self.inner.get_score())
 
     def get_choices(self) -> ChoiceMap:
-        return Indexed(self.inner.get_choices(), jnp.arange(self.n))
+        return Indexed(self.inner.get_choices())
 
     def get_inner_trace(self, address):
         return jtu.tree_map(lambda v: v[address], self.inner)
@@ -208,7 +208,7 @@ class Scan(GenerativeFunction[Any]):
         new_trace = ScanTrace(self, new_inner, args, (final, outs), n)
         retdiff = Diff.unknown_change(new_trace.get_retval())
         if isinstance(request, Update):
-            bwd: EditRequest = Update(Indexed(discards, jnp.arange(n)))
+            bwd: EditRequest = Update(Indexed(discards))
         else:
             bwd = Regenerate(request.selection)
         return new_trace, jnp.sum(ws), retdiff, bwd

@@ -74,7 +74,7 @@ class VmapTrace(Trace[Any]):
         return jnp.sum(self.inner.get_score())
 
     def get_choices(self) -> ChoiceMap:
-        return Indexed(self.inner.get_choices(), jnp.arange(self.n))
+        return Indexed(self.inner.get_choices())
 
     def get_inner_trace(self, address):
         return jtu.tree_map(lambda v: v[address], self.inner)
@@ -195,7 +195,7 @@ class Vmap(GenerativeFunction[Any]):
         new_trace = VmapTrace(self, new_inner, args, n)
         retdiff = Diff.unknown_change(new_trace.get_retval())
         if isinstance(request, Update):
-            bwd = Update(Indexed(discards, jnp.arange(n)))
+            bwd = Update(Indexed(discards))
         else:
             bwd = Regenerate(request.selection)
         w = jnp.sum(ws)

@@ -10,6 +10,11 @@ from genjax_tpu.parallel.mesh import (
     replicated,
     shard_leading_axis,
 )
+from genjax_tpu.parallel.bootstrap import (
+    init_distributed,
+    is_multihost,
+    local_particle_slice,
+)
 from genjax_tpu.parallel.pf import sharded_particle_filter
 from genjax_tpu.parallel.smc import (
     sharded_importance,
@@ -22,6 +27,9 @@ __all__ = [
     "NamedSharding",
     "P",
     "host_device_mesh",
+    "init_distributed",
+    "is_multihost",
+    "local_particle_slice",
     "particle_mesh",
     "replicated",
     "shard_leading_axis",

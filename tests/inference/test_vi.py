@@ -52,8 +52,8 @@ class TestVI:
         )
         v = 0.1
         jitted = jax.jit(loss_grad)
-        for _ in range(200):
-            (v_grad,) = jitted(KEY, (v,))
+        for i in range(350):
+            (v_grad,) = jitted(jax.random.fold_in(KEY, i), (v,))
             v -= 1e-3 * v_grad
         assert v == pytest.approx(3.0, 5e-2)
 
