@@ -135,11 +135,19 @@ def run_nuts(
     num_samples: int = 1000,
     max_depth: int = 8,
     target_accept: float = 0.8,
+    mesh=None,
+    axis_name: str = "chains",
 ):
     """End-to-end NUTS on a :class:`Target`: initialize chains from the
     prior, warm up (cross-chain adaptation), sample. Returns
     ``(choices_chm_stacked, infos)`` with leading axes (chains, samples).
-    """
+
+    With ``mesh``, the chain axis is pinned to ``mesh[axis_name]`` — the
+    warmup's cross-chain accept/variance reductions become mesh
+    collectives, and chains run fully data-parallel across devices."""
+    constrain = (lambda t: t) if mesh is None else (
+        lambda t: _shard_chains(t, mesh, axis_name)
+    )
     k_init, k_warm, k_sample = jax.random.split(key, 3)
 
     init_keys = jax.random.split(k_init, n_chains)
@@ -157,6 +165,7 @@ def run_nuts(
             jax.tree_util.tree_map(lambda v: v[i], latents0)
         )[0]
     )(jnp.arange(n_chains))
+    z0s = constrain(z0s)
 
     def logdensity(z_vec):
         tr, w = target.importance(
@@ -181,6 +190,12 @@ def run_nuts(
         return zs, infos
 
     chain_keys = jax.random.split(k_sample, n_chains)
-    zs, infos = jax.vmap(sample_one_chain)(z_warm, chain_keys)
-    chms = jax.vmap(jax.vmap(unravel))(zs)
+    zs, infos = jax.vmap(sample_one_chain)(constrain(z_warm), chain_keys)
+    chms = jax.vmap(jax.vmap(unravel))(constrain(zs))
     return chms, infos
+
+
+def _shard_chains(tree, mesh, axis_name):
+    from genjax_tpu.parallel.mesh import shard_leading_axis
+
+    return shard_leading_axis(tree, mesh, axis_name)

@@ -132,3 +132,25 @@ def test_batched_particle_filter_matches_perkey_structure():
     final, _ = jax.jit(lambda k: pf(k, ys))(KEY)
     assert final.particles.shape == (n,)
     assert bool(jnp.isfinite(final.log_z))
+
+
+def test_sharded_nuts_chains():
+    from genjax_tpu.inference import Target, run_nuts
+    from genjax_tpu.parallel import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("chains",))
+
+    @g.gen
+    def model():
+        mu = g.normal(0.0, 1.0) @ "mu"
+        _ = g.normal(mu, 0.5) @ "y"
+
+    target = Target(model, (), g.C["y"].set(1.0))
+    chms, infos = jax.jit(
+        lambda k: run_nuts(target, k, n_chains=8, num_warmup=100,
+                           num_samples=100, max_depth=5, mesh=mesh)
+    )(KEY)
+    mus = chms["mu"]
+    assert mus.shape == (8, 100)
+    assert len(mus.sharding.device_set) == 8
+    assert abs(float(mus.mean()) - 0.8) < 0.1
