@@ -31,6 +31,7 @@ __all__ = [
     "forward_filter",
     "forward_filter_parallel",
     "backward_sample",
+    "backward_sample_parallel",
     "log_data_marginal",
 ]
 
@@ -124,6 +125,58 @@ def forward_filter_parallel(
     return alphas, logsumexp(alphas[-1])
 
 
+def backward_sample_parallel(key: jax.Array,
+                             config: DiscreteHMMConfiguration,
+                             alphas: jax.Array) -> jax.Array:
+    """O(log T)-depth exact posterior path sampling.
+
+    Sequential FFBS samples z_t | z_{t+1} one step at a time. Here we
+    instead materialize, for every step t, the *sampling function*
+    ``f_t : z_{t+1} ↦ z_t`` (inverse-CDF with one uniform per step, applied
+    to every conditioning state j — an (S,)-vector of ints), then collapse
+    the chain of function compositions with ``lax.associative_scan`` whose
+    combine is gather-composition ``(a ∘ b)[j] = a[b[j]]``. Total depth
+    O(log T) — the sequence axis is fully parallel, like the forward
+    filter."""
+    T, S = alphas.shape
+    k_last, k_steps = jax.random.split(key)
+    z_T = jax.random.categorical(k_last, alphas[-1])
+
+    # Per-step conditional logits: L_t[j, s] = log P(z_t = s | z_{t+1}=j).
+    # (t ranges over 0..T-2; condition state j is z_{t+1}.)
+    cond_logits = (
+        alphas[:-1][:, None, :]                      # (T-1, 1, S)
+        + config.transition_logits.T[None, :, :]     # (1, S, S): [j, s]
+    )
+    # One uniform per step, shared across conditioning states (valid: only
+    # one conditioning state is ever realized per step).
+    us = jax.vmap(
+        lambda t: jax.random.uniform(jax.random.fold_in(k_steps, t))
+    )(jnp.arange(T - 1))
+    probs = jax.nn.softmax(cond_logits, axis=-1)
+    cdf = jnp.cumsum(probs, axis=-1)                  # (T-1, S, S)
+    # Inverse CDF: f_t[j] = first s with cdf >= u_t.
+    tables = jnp.argmax(
+        cdf >= us[:, None, None], axis=-1
+    ).astype(jnp.int32)                               # (T-1, S)
+
+    # Compose backward: M_t = f_t ∘ f_{t+1} ∘ ... ∘ f_{T-2}; then
+    # z_t = M_t[z_T]. associative_scan on reversed tables with
+    # combine(a, b)[j] = a[b[j]] (a applied after b's output feeds it).
+    def compose(a, b):
+        # batched gather-composition over the leading (scan) axis
+        return jnp.take_along_axis(a, b, axis=-1)
+
+    rev = tables[::-1]                                # f_{T-2}, ..., f_0
+    acc = jax.lax.associative_scan(
+        lambda b, a: compose(a, b), rev
+    )
+    # acc[k] = f_{T-2-k} ∘ ... ∘ f_{T-2}; so z_{T-2-k} = acc[k][z_T].
+    zs_rev = acc[:, z_T] if acc.ndim == 2 else acc[..., z_T]
+    zs = zs_rev[::-1]
+    return jnp.concatenate([zs, z_T[None]], axis=0)
+
+
 def backward_sample(key: jax.Array, config: DiscreteHMMConfiguration,
                     alphas: jax.Array) -> jax.Array:
     """Sample a latent path from the exact posterior given filtered
@@ -182,7 +235,10 @@ class DiscreteHMM(Distribution):
 
     def random_weighted(self, key, config, observations):
         alphas, logm = self._filter(config, observations)
-        z = backward_sample(key, config, alphas)
+        if self.use_parallel_filter:
+            z = backward_sample_parallel(key, config, alphas)
+        else:
+            z = backward_sample(key, config, alphas)
         score = joint_logpdf(config, z, observations) - logm
         return score, z
 

@@ -98,14 +98,31 @@ class TestFFBS:
         lp = discrete_hmm.estimate_logpdf(KEY, z, config, obs)
         np.testing.assert_allclose(float(score), float(lp), rtol=1e-5)
 
-    def test_parallel_variant_same_distribution(self):
+    def test_parallel_backward_sample_distribution(self):
+        """The O(log T)-depth parallel backward sampler draws from the
+        exact posterior (histogram vs enumeration)."""
         config = small_config()
         obs = jnp.array([0, 1, 0])
         par = DiscreteHMM(use_parallel_filter=True)
-        s1, z1 = discrete_hmm.random_weighted(KEY, config, obs)
+        keys = jax.random.split(KEY, 20000)
+        zs = jax.vmap(lambda k: par.random_weighted(k, config, obs)[1])(
+            keys
+        )
+        for z in itertools.product(range(2), repeat=3):
+            z_arr = jnp.asarray(z)
+            want = float(jnp.exp(
+                discrete_hmm.estimate_logpdf(KEY, z_arr, config, obs)
+            ))
+            got = float(jnp.mean(jnp.all(zs == z_arr[None], axis=1)))
+            assert abs(got - want) < 0.015, (z, got, want)
+
+    def test_parallel_variant_same_score_semantics(self):
+        config = small_config()
+        obs = jnp.array([0, 1, 0])
+        par = DiscreteHMM(use_parallel_filter=True)
         s2, z2 = par.random_weighted(KEY, config, obs)
-        np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
-        np.testing.assert_allclose(float(s1), float(s2), rtol=1e-5)
+        lp = par.estimate_logpdf(KEY, z2, config, obs)
+        np.testing.assert_allclose(float(s2), float(lp), rtol=1e-5)
 
 
 class TestTestbed:
