@@ -29,6 +29,7 @@ from genjax_tpu.inference.requests import (
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
 from genjax_tpu.inference.smc_sampler import TemperedSMCResult, tempered_smc
+from genjax_tpu.inference.trace_pf import TracePFResult, trace_particle_filter
 from genjax_tpu.inference.smc import (
     ChangeTarget,
     Importance,
@@ -47,6 +48,8 @@ __all__ = [
     "NUTS",
     "ParticleFilter",
     "TemperedSMCResult",
+    "TracePFResult",
+    "trace_particle_filter",
     "tempered_smc",
     "bootstrap_filter",
     "particle_filter",
