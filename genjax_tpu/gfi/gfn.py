@@ -349,3 +349,12 @@ class GenerativeFunctionClosure(Pytree, Generic[R]):
 
     def assess(self, chm):
         return self.gen_fn.assess(chm, self.args)
+
+    def generate(self, key, constraint):
+        return self.gen_fn.generate(key, constraint, self.args)
+
+    def project(self, key, trace, selection):
+        return self.gen_fn.project(key, trace, selection)
+
+    def edit(self, key, trace, request, argdiffs):
+        return self.gen_fn.edit(key, trace, request, argdiffs)

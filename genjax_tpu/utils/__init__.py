@@ -3,6 +3,7 @@
 from genjax_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from genjax_tpu.utils.pretty import (
     pformat,
+    pretty,
     pprint,
     render_choice_map,
     render_html,
@@ -10,6 +11,7 @@ from genjax_tpu.utils.pretty import (
 
 __all__ = [
     "pformat",
+    "pretty",
     "pprint",
     "render_choice_map",
     "render_html",

@@ -105,3 +105,16 @@ def render_html(obj: Any) -> str:
     import html
 
     return f"<pre>{html.escape(pformat(obj))}</pre>"
+
+
+def pretty() -> None:
+    """Install rich rendering (parity: reference ``pretty.py``, which
+    registers treescope). Uses treescope when importable; otherwise the
+    built-in text renderers in this module are already active."""
+    try:
+        import treescope  # type: ignore
+
+        treescope.register_as_default()
+        treescope.register_autovisualize_magic()
+    except ImportError:
+        pass
