@@ -199,3 +199,44 @@ class TestSugar:
         ztr = two_normals.get_zero_trace(0.5)
         assert jnp.allclose(ztr.get_score(), 0.0)
         assert jnp.allclose(ztr.get_choices()["x"], 0.0)
+
+
+class TestRequestVocabulary:
+    def test_empty_request_replays_under_new_args(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        argdiffs = (g.Diff(1.0, g.UnknownChange),)
+        new_tr, w, _, _ = g.EmptyRequest().edit(
+            jax.random.key(1), tr, argdiffs
+        )
+        x = tr.get_choices()["x"]
+        want = jss.norm.logpdf(x, 1.0, 1.0) - jss.norm.logpdf(x, 0.5, 1.0)
+        assert jnp.allclose(w, want, atol=1e-6)
+        assert jnp.allclose(new_tr.get_choices()["x"], x)
+
+    def test_diff_annotate_coerces(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        # Coerce unknown argdiffs to no-change: weight must then be 0 for
+        # an empty update.
+        req = g.DiffAnnotate(
+            g.Update(g.ChoiceMap.empty()),
+            argdiff_fn=lambda d: g.Diff.no_change(d),
+        )
+        argdiffs = (g.Diff(0.9, g.UnknownChange),)
+        _, w, _, _ = req.edit(jax.random.key(1), tr, argdiffs)
+        assert jnp.allclose(w, 0.0)
+
+    def test_static_request_per_address(self):
+        tr = two_normals.simulate(KEY, (0.5,))
+        req = g.StaticRequest({
+            "x": g.Regenerate(g.S.all()),
+            "y": g.Update(g.ChoiceMap.empty()),
+        })
+        new_tr, w, _, bwd = tr.edit(jax.random.key(9), req)
+        assert isinstance(bwd, g.StaticRequest)
+        # y retained, x resampled:
+        assert jnp.allclose(
+            new_tr.get_choices()["y"], tr.get_choices()["y"]
+        )
+        assert float(new_tr.get_choices()["x"]) != float(
+            tr.get_choices()["x"]
+        )
