@@ -87,19 +87,116 @@ class TailCallADEVPrimitive(ADEVPrimitive):
 sample_p = InitialStylePrimitive("adev_sample")
 
 
+@Pytree.dataclass
+class BatchedTailCallPrimitive(ADEVPrimitive):
+    """A :class:`TailCallADEVPrimitive` lifted over a batch axis: sampling
+    and the local dual computation vmap lane-wise (sound because tail-call
+    strategies never invoke the continuations per-lane). The per-lane
+    keys ride as a dynamic field of the primitive (flattened into the
+    bind operands automatically).
+
+    Parity: reference ``adev/core.py:108-132``."""
+
+    original: ADEVPrimitive
+    lane_keys: Any
+    dims: tuple = Pytree.static()
+    n: int = Pytree.static(default=0)
+
+    def _keys(self, fallback_key):
+        # If the site's key was itself batched (distinct per-lane keys),
+        # use them; otherwise derive per-lane keys from the given key.
+        if self.dims[0] is not None:
+            return self.lane_keys, 0
+        return jax.random.split(fallback_key, self.n), 0
+
+    def sample(self, _key, *args):
+        keys, kax = self._keys(_key)
+        return jax.vmap(
+            self.original.sample, in_axes=(kax, *self.dims[1:])
+        )(keys, *args)
+
+    def jvp_estimate(self, key, dual_args, konts):
+        _, kdual = konts
+        key, sub_key = jax.random.split(key)
+        keys, kax = self._keys(sub_key)
+        primals = [Dual.tree_primal(d) for d in dual_args]
+        tangents = [Dual.tree_tangent(d) for d in dual_args]
+
+        def lane(key, primals, tangents):
+            duals = tuple(Dual.dual_tree(p, t)
+                          for p, t in zip(primals, tangents))
+            out = self.original.before_tail_call(key, duals)
+            return Dual.tree_primal(out), Dual.tree_tangent(out)
+
+        arg_dims = list(self.dims[1:])
+        p_out, t_out = jax.vmap(
+            lane, in_axes=(kax, arg_dims, arg_dims)
+        )(keys, primals, tangents)
+        return kdual(key, Dual.dual_tree(p_out, t_out))
+
+
+def _sample_batch_rule(vector_args, batch_axes, **params):
+    """Batching (vmap) of a sample site. The generic initial-style rule
+    would inline the sampler and silently DROP the gradient strategy
+    (biasing REINFORCE-style estimators); instead, re-bind ``sample_p``
+    with a batched primitive when the strategy supports it, and fail
+    loudly otherwise."""
+    in_tree = params["in_tree"]
+    num_consts = params["num_consts"]
+    flat = list(vector_args[num_consts:])
+    flat_axes = list(batch_axes[num_consts:])
+    if any(ax is not None for ax in batch_axes[:num_consts]):
+        raise NotImplementedError(
+            "Batched consts in an ADEV sample site."
+        )
+    adev_prim, bound_key, *args = jtu.tree_unflatten(in_tree, flat)
+    _, key_ax, *arg_axes = jtu.tree_unflatten(in_tree, flat_axes)
+
+    def leaf_axis(ax):
+        leaves = jtu.tree_leaves(ax, is_leaf=lambda x: x is None)
+        return leaves[0] if leaves else None
+
+    dims = (leaf_axis(key_ax), *(leaf_axis(ax) for ax in arg_axes))
+    if not hasattr(adev_prim, "before_tail_call"):
+        raise NotImplementedError(
+            f"vmap over ADEV primitive {type(adev_prim).__name__} would "
+            "silently drop its gradient strategy; use a *Parallel "
+            "enumeration variant, a tail-call (reparameterized) "
+            "primitive, or restructure the program so the vmap is "
+            "outside the expectation."
+        )
+    # Batch length from the first batched operand.
+    n = 0
+    for leaf, ax in zip(flat, flat_axes):
+        if ax is not None:
+            n = jnp.shape(leaf)[ax]
+            break
+    batched = BatchedTailCallPrimitive(adev_prim, bound_key, dims, n)
+    out = sample_primitive(batched, *args)
+    return jtu.tree_leaves(out), [0 for _ in jtu.tree_leaves(out)]
+
+
+from jax.interpreters import batching as _batching  # noqa: E402
+
+_batching.primitive_batchers[sample_p] = _sample_batch_rule
+
+
 def sample_primitive(adev_prim: ADEVPrimitive, *args,
                      key: jax.Array | None = None):
-    """Bind a sampling site into the program's jaxpr. The key argument only
-    matters when the program is executed outside the ADEV interpreter (e.g.
-    ``Expectation.estimate``); under interpretation the strategy supplies
-    keys. Parity: reference ``adev/core.py:143-155``."""
+    """Bind a sampling site into the program's jaxpr. The bound key drives
+    plain (non-interpreted) execution — e.g. guide simulation; under ADEV
+    interpretation the strategy supplies fresh keys.
+
+    Parity: reference ``adev/core.py:143-155`` (the key is an explicit
+    operand here rather than a closure constant, so batching can thread
+    per-lane keys)."""
     if key is None:
         key = jax.random.key(0)
 
-    def call(adev_prim, *args):
+    def call(adev_prim, key, *args):
         return adev_prim.sample(key, *args)
 
-    return initial_style_bind(sample_p)(call)(adev_prim, *args)
+    return initial_style_bind(sample_p)(call)(adev_prim, key, *args)
 
 
 @Pytree.dataclass
@@ -204,7 +301,7 @@ def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
             key, sub_key = jax.random.split(key)
             in_tree = eqn.params["in_tree"]
             num_consts = eqn.params["num_consts"]
-            adev_prim, *args = jtu.tree_unflatten(
+            adev_prim, _bound_key, *args = jtu.tree_unflatten(
                 in_tree, invals[num_consts:]
             )
             out = adev_prim.sample(sub_key, *args)
@@ -255,8 +352,12 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
             in_tree = eqn.params["in_tree"]
             num_consts = eqn.params["num_consts"]
             flat_primals, flat_tangents = _flat_unzip(invals[num_consts:])
-            adev_prim, *primals = jtu.tree_unflatten(in_tree, flat_primals)
-            _, *tangents = jtu.tree_unflatten(in_tree, flat_tangents)
+            adev_prim, _bound_key, *primals = jtu.tree_unflatten(
+                in_tree, flat_primals
+            )
+            _, _bk_tan, *tangents = jtu.tree_unflatten(
+                in_tree, flat_tangents
+            )
             dual_args = tuple(Dual.dual_tree(p, t)
                               for p, t in zip(primals, tangents))
             return adev_prim.jvp_estimate(key, dual_args, (kpure, kdual))

@@ -20,7 +20,7 @@ import jax.scipy.special as jsp
 import jax.scipy.stats as jss
 
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.adev.core import ADEVPrimitive, Dual
+from genjax_tpu.adev.core import ADEVPrimitive, Dual, TailCallADEVPrimitive
 
 __all__ = [
     "REINFORCE",
@@ -196,17 +196,16 @@ class CategoricalEnumParallel(ADEVPrimitive):
 
 
 @Pytree.dataclass
-class NormalREPARAM(ADEVPrimitive):
-    """Pathwise/reparameterization for Normal(loc, scale).
-
-    Parity: reference ``primitives.py:271-298``."""
+class NormalREPARAM(TailCallADEVPrimitive):
+    """Pathwise/reparameterization for Normal(loc, scale) — tail-call
+    strategy (batches under vmap). Parity: reference
+    ``primitives.py:271-298``."""
 
     def sample(self, key, loc, scale):
         shape = jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
         return loc + scale * jr.normal(key, shape)
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
+    def before_tail_call(self, key, dual_args):
         loc_dual, scale_dual = dual_args
         key, sub_key = jax.random.split(key)
         eps = jr.normal(sub_key, jnp.broadcast_shapes(
@@ -217,18 +216,17 @@ class NormalREPARAM(ADEVPrimitive):
             (loc_dual.primal, scale_dual.primal),
             (loc_dual.tangent, scale_dual.tangent),
         )
-        return kdual(key, Dual(primal_out, tangent_out))
+        return Dual(primal_out, tangent_out)
 
 
 @Pytree.dataclass
-class MvNormalDiagREPARAM(ADEVPrimitive):
+class MvNormalDiagREPARAM(TailCallADEVPrimitive):
     """Parity: reference ``primitives.py:301-335``."""
 
     def sample(self, key, loc, scale_diag):
         return loc + scale_diag * jr.normal(key, jnp.shape(loc))
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
+    def before_tail_call(self, key, dual_args):
         loc_dual, diag_dual = dual_args
         key, sub_key = jax.random.split(key)
         eps = jr.normal(sub_key, jnp.shape(loc_dual.primal))
@@ -237,11 +235,11 @@ class MvNormalDiagREPARAM(ADEVPrimitive):
             (loc_dual.primal, diag_dual.primal),
             (loc_dual.tangent, diag_dual.tangent),
         )
-        return kdual(key, Dual(primal_out, tangent_out))
+        return Dual(primal_out, tangent_out)
 
 
 @Pytree.dataclass
-class MvNormalREPARAM(ADEVPrimitive):
+class MvNormalREPARAM(TailCallADEVPrimitive):
     """Full-covariance reparameterization via Cholesky.
 
     Parity: reference ``primitives.py:338-370``."""
@@ -249,8 +247,7 @@ class MvNormalREPARAM(ADEVPrimitive):
     def sample(self, key, loc, cov):
         return jr.multivariate_normal(key, loc, cov)
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
+    def before_tail_call(self, key, dual_args):
         loc_dual, cov_dual = dual_args
         key, sub_key = jax.random.split(key)
         eps = jr.normal(sub_key, jnp.shape(loc_dual.primal))
@@ -264,11 +261,11 @@ class MvNormalREPARAM(ADEVPrimitive):
             (loc_dual.primal, cov_dual.primal),
             (loc_dual.tangent, cov_dual.tangent),
         )
-        return kdual(key, Dual(primal_out, tangent_out))
+        return Dual(primal_out, tangent_out)
 
 
 @Pytree.dataclass
-class UniformREPARAM(ADEVPrimitive):
+class UniformREPARAM(TailCallADEVPrimitive):
     """Uniform(0,1) — parameterless, zero tangent.
 
     Parity: reference ``primitives.py:373-389``."""
@@ -276,11 +273,10 @@ class UniformREPARAM(ADEVPrimitive):
     def sample(self, key):
         return jr.uniform(key, ())
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
+    def before_tail_call(self, key, dual_args):
         key, sub_key = jax.random.split(key)
         u = jr.uniform(sub_key, ())
-        return kdual(key, Dual(u, jnp.zeros_like(u)))
+        return Dual(u, jnp.zeros_like(u))
 
 
 def _beta_cdf_param_partials(x, a, b, n_nodes: int = 64):
@@ -310,7 +306,7 @@ def _beta_cdf_param_partials(x, a, b, n_nodes: int = 64):
 
 
 @Pytree.dataclass
-class BetaIMPLICIT(ADEVPrimitive):
+class BetaIMPLICIT(TailCallADEVPrimitive):
     """Beta(a, b) via implicit reparameterization (Figurnov et al. 2018):
     dx/dθ = −(∂F/∂θ)/p(x;θ), with the CDF's parameter partials computed by
     quadrature (JAX's ``betainc`` lacks parameter gradients). Parity:
@@ -320,8 +316,7 @@ class BetaIMPLICIT(ADEVPrimitive):
     def sample(self, key, a, b):
         return jr.beta(key, a, b)
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
+    def before_tail_call(self, key, dual_args):
         a_dual, b_dual = dual_args
         key, sub_key = jax.random.split(key)
         a, b = a_dual.primal, b_dual.primal
@@ -330,7 +325,7 @@ class BetaIMPLICIT(ADEVPrimitive):
         pdf = jnp.exp(jss.beta.logpdf(x, a, b))
         denom = jnp.maximum(pdf, 1e-30)
         x_tan = -(dFda * a_dual.tangent + dFdb * b_dual.tangent) / denom
-        return kdual(key, Dual(x, x_tan))
+        return Dual(x, x_tan)
 
 
 @Pytree.dataclass

@@ -194,3 +194,33 @@ class TestCombinators:
         # Smoke: finite gradient.
         g = loss.grad_estimate(KEY, (0.5, 1.0))
         assert all(bool(jnp.isfinite(gi)) for gi in g)
+
+
+class TestBatchedSites:
+    def test_vmap_reparam_site_inside_program(self):
+        """A vmapped reparam sample site keeps its pathwise gradient."""
+
+        @expectation
+        def loss(mu):
+            xs = jax.vmap(lambda m: normal_reparam(m, 1.0))(
+                mu * jnp.ones(8)
+            )
+            return jnp.mean(xs * xs)
+
+        keys = jax.random.split(KEY, 2000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.5,))[0])(keys)
+        # d/dmu E[mean(x_i^2)] = 2 mu = 3.0
+        assert abs(float(gs.mean()) - 3.0) < 0.1
+
+    def test_vmap_reinforce_site_raises(self):
+        """Batching a score-function site must fail loudly (the generic
+        rule would silently drop the gradient strategy)."""
+        import pytest
+
+        @expectation
+        def loss(p):
+            bs = jax.vmap(lambda pp: flip_reinforce(pp))(p * jnp.ones(4))
+            return jnp.sum(jnp.where(bs, 1.0, 0.0))
+
+        with pytest.raises(NotImplementedError):
+            loss.grad_estimate(KEY, (0.3,))
