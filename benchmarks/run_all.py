@@ -13,12 +13,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    """Device->host sync (block_until_ready alone is unreliable on the
+    async TPU tunnel — see CLAUDE.md)."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
 def _sync_time(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))  # compile + warmup
+    _force(fn(*args))  # tunnel lazy-init warmup
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _force(fn(*args))
     return out, time.perf_counter() - t0
 
 
