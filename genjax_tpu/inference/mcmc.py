@@ -78,7 +78,8 @@ def multi_chain(kernel, n_chains: int):
         init_traces = jax.vmap(trace_init_fn)(keys)
 
         def one(key, tr):
-            return runner(jax.random.fold_in(key, -1), tr, n_steps=n_steps,
+            run_key = jax.random.fold_in(key, 0x5EED)
+            return runner(run_key, tr, n_steps=n_steps,
                           burn_in=burn_in, collect=collect)
 
         return jax.vmap(one)(keys, init_traces)

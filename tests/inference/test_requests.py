@@ -150,3 +150,32 @@ class TestMHConvergence:
         assert bool(jnp.isfinite(final.get_score()))
         # chain must have moved:
         assert float(jnp.std(accepts)) > 0.0
+
+
+class TestMultiChain:
+    def test_multi_chain_runner(self):
+        from genjax_tpu.inference import multi_chain
+
+        obs_std = 0.5
+
+        def init_trace(key):
+            tr, _ = conjugate_normal.generate(
+                key, g.C["y"].set(1.0), (obs_std,)
+            )
+            return tr
+
+        def kernel(key, trace):
+            return mh(key, trace, g.Regenerate(g.S.at["mu"]))
+
+        runner = multi_chain(kernel, n_chains=4)
+        final, mus = jax.jit(
+            lambda k: runner(
+                k, init_trace, n_steps=400,
+                collect=lambda tr: tr.get_choices()["mu"],
+            )
+        )(jax.random.key(2))
+        assert mus.shape == (4, 400)
+        mean, _ = posterior_params(1.0, obs_std)
+        assert abs(float(mus[:, 100:].mean()) - mean) < 5e-2
+        # chains differ:
+        assert float(np.std(np.asarray(mus[:, -1]))) > 0.0

@@ -154,3 +154,11 @@ def test_sharded_nuts_chains():
     assert mus.shape == (8, 100)
     assert len(mus.sharding.device_set) == 8
     assert abs(float(mus.mean()) - 0.8) < 0.1
+
+
+def test_host_device_mesh():
+    from genjax_tpu.parallel import host_device_mesh
+
+    mesh = host_device_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("hosts", "chips")
