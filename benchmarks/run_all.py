@@ -108,7 +108,13 @@ def config3_hmm_smc(small: bool):
 
     S, T = (64, 64) if not small else (8, 16)
     config = DiscreteHMMConfiguration.circulant(S, S)
-    obs = jax.random.randint(jax.random.key(3), (T,), 0, S)
+    # Typical observations (simulated from the model): uniformly random
+    # ones are astronomically unlikely under the peaked circulant
+    # emissions at large S and degrade any prior-proposal filter.
+    from genjax_tpu.inference.exact_testbed import sample_problem
+
+    problem = sample_problem(jax.random.key(3), config, T)
+    obs = problem.observations
     _, exact = forward_filter(config, obs)
 
     def init(key):
@@ -166,16 +172,19 @@ def config5_vi(small: bool):
         b = vi.flip_enum(0.5) @ "comp"
         _ = vi.normal_reparam(jnp.where(b, v, -v), 0.5) @ "mu"
 
-    loss_grad = jax.jit(vi.ELBO(
+    loss_grad = vi.ELBO(
         guide, lambda v: Target(model, (v,), g.C["y"].set(1.0))
-    ))
+    )
     steps = 100 if not small else 10
 
+    @jax.jit
     def run(key):
-        v = 0.5
-        for i in range(steps):
+        # Whole optimization loop in one dispatch.
+        def body(v, i):
             (dv,) = loss_grad(jax.random.fold_in(key, i), (v,))
-            v = v - 1e-3 * dv
+            return v - 1e-3 * dv, None
+
+        v, _ = jax.lax.scan(body, jnp.asarray(0.5), jnp.arange(steps))
         return v
 
     _, dt = _sync_time(run, jax.random.key(0))
