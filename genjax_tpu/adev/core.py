@@ -110,7 +110,11 @@ class BatchedTailCallPrimitive(ADEVPrimitive):
         return jax.random.split(fallback_key, self.n), 0
 
     def sample(self, _key, *args):
-        keys, kax = self._keys(_key)
+        # Plain (non-interpreted) execution must honor the user's bound
+        # key: with an unbatched key, derive the lanes from it — not from
+        # the rebind's default const.
+        keys, kax = self._keys(self.lane_keys if self.dims[0] is None
+                               else _key)
         return jax.vmap(
             self.original.sample, in_axes=(kax, *self.dims[1:])
         )(keys, *args)
@@ -368,12 +372,14 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
             captured_env = dual_env.copy()
             rest = eqns[eqn_idx + 1:]
             out_vars = eqn.outvars
+            # Distinct keys for the branch body vs. the continuation.
+            key, kont_key = jax.random.split(key)
 
             def cond_kont(dual_tree) -> Dual:
                 dual_leaves = Dual.tree_leaves(dual_tree)
                 return _eval_dual(
-                    key, rest, captured_env.copy(), out_vars, dual_leaves,
-                    outvars,
+                    kont_key, rest, captured_env.copy(), out_vars,
+                    dual_leaves, outvars,
                 )
 
             branches = params["branches"]

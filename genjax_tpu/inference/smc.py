@@ -414,13 +414,14 @@ class ImportanceK(SMCAlgorithm):
         key, sub_key = jax.random.split(key)
         sub_keys = jax.random.split(sub_key, self.k_particles - 1)
         if self.q is not None:
+            key, ret_key, imp_key = jax.random.split(key, 3)
             q_ws, choices = jax.vmap(
                 self.q.random_weighted, in_axes=(0, None)
             )(sub_keys, target)
-            retained_q_w = self.q.estimate_logpdf(key, retained, target)
+            retained_q_w = self.q.estimate_logpdf(ret_key, retained, target)
             all_choices = _stack_end(choices, retained)
             all_q_ws = _stack_end(q_ws, retained_q_w)
-            all_keys = jax.random.split(key, self.k_particles)
+            all_keys = jax.random.split(imp_key, self.k_particles)
             trs, target_ws = jax.vmap(target.importance)(
                 all_keys, all_choices
             )
@@ -471,12 +472,14 @@ class ChangeTarget(SMCAlgorithm):
         )
 
     def run_smc(self, key: jax.Array) -> ParticleCollection:
+        key, rw_key = jax.random.split(key)
         collection = self.prev.run_smc(key)
-        return self._reweight_collection(key, collection)
+        return self._reweight_collection(rw_key, collection)
 
     def run_csmc(self, key: jax.Array, retained: ChoiceMap):
+        key, rw_key = jax.random.split(key)
         collection = self.prev.run_csmc(key, retained)
-        return self._reweight_collection(key, collection)
+        return self._reweight_collection(rw_key, collection)
 
     def run_csmc_for_normalizing_constant(
         self, key: jax.Array, latent_choices: ChoiceMap, w: Weight
