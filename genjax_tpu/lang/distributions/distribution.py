@@ -121,7 +121,12 @@ class Distribution(GenerativeFunction[Any]):
                 )
             optional_check(check)
             v = v.value
-        key = jax.random.key(0)  # exact densities ignore the key
+        # The GFI's assess is keyless (reference distribution.py:398):
+        # exact densities ignore the key entirely; stochastic-density
+        # subclasses receive a FIXED key here, i.e. one deterministic
+        # realization of the density estimator — use estimate_logpdf
+        # directly when fresh estimator randomness matters.
+        key = jax.random.key(0)
         score = self.estimate_logpdf(key, v, *args)
         return score, v
 
@@ -139,9 +144,10 @@ class Distribution(GenerativeFunction[Any]):
                 return tr, jnp.zeros(())
             else:
                 # Traced flag: sample unconditionally, select, rescore.
+                key, est_key = jax.random.split(key)
                 _, sampled = self.random_weighted(key, *args)
                 v = _tree_where(flag, cv.value, sampled)
-                score = self.estimate_logpdf(key, v, *args)
+                score = self.estimate_logpdf(est_key, v, *args)
                 w = jnp.where(flag, score, jnp.zeros(()))
                 return DistributionTrace(self, args, v, score), w
         score = self.estimate_logpdf(key, cv, *args)
@@ -228,9 +234,10 @@ class Distribution(GenerativeFunction[Any]):
             return (new_tr, jnp.zeros(()), Diff.unknown_change(v),
                     Regenerate(selection))
         # Traced flag: sample + select.
+        key, est_key = jax.random.split(key)
         _, sampled = self.random_weighted(key, *args)
         v = _tree_where(flag, sampled, old_v)
-        new_score = self.estimate_logpdf(key, v, *args)
+        new_score = self.estimate_logpdf(est_key, v, *args)
         new_tr = DistributionTrace(self, args, v, new_score)
         w = jnp.where(flag, jnp.zeros(()), new_score - old_score)
         return new_tr, w, Diff.unknown_change(v), Regenerate(selection)
