@@ -51,6 +51,9 @@ def chain(kernel: Callable[[jax.Array, Trace[Any]],
     def run(key: jax.Array, trace: Trace[Any], *, n_steps: int,
             burn_in: int = 0, collect: Callable[[Trace[Any]], Any]
             | None = None):
+        """``n_steps`` is the TOTAL number of kernel applications;
+        ``burn_in`` only trims the returned collection (``n_steps −
+        burn_in`` samples come back)."""
         def step(tr, i):
             step_key = jax.random.fold_in(key, i)
             new_tr, aux = kernel(step_key, tr)

@@ -139,6 +139,8 @@ class Switch(GenerativeFunction[Any]):
             idx_diff
         ):
             return self._edit_index_change(key, trace, request, args)
+        # tree_tangent JOINS all branch-arg tangents into one coarse
+        # ChangeTangent (sound: NoChange only if everything is unchanged).
         tangent = Diff.tree_tangent(argdiffs[1:])
 
         fs = []
@@ -178,9 +180,10 @@ class Switch(GenerativeFunction[Any]):
         fs = []
         for b in self.branches:
             def f(key, a, _b=b):
-                new_tr = _b.simulate(key, a)
+                sim_key, edit_key = jax.random.split(key)
+                new_tr = _b.simulate(sim_key, a)
                 edited, w, _rd, _bwd = _b.edit(
-                    key, new_tr, request, Diff.no_change(a)
+                    edit_key, new_tr, request, Diff.no_change(a)
                 )
                 return edited, w
             fs.append(f)
