@@ -83,15 +83,9 @@ class Trace(Pytree, Generic[R]):
         argdiffs: Argdiffs | None = None,
     ) -> "tuple[Trace[R], Weight, Retdiff, ChoiceMap]":
         """Constrain-update this trace; returns the discarded choices."""
-        from genjax_tpu.gfi.requests import Update
-
         if argdiffs is None:
             argdiffs = Diff.no_change(self.get_args())
-        tr, w, rd, bwd = Update(constraint).edit(key, self, argdiffs)
-        from genjax_tpu.gfi.requests import Update as _U
-
-        discard = bwd.constraint if isinstance(bwd, _U) else ChoiceMap.empty()
-        return tr, w, rd, discard
+        return self.get_gen_fn().update(key, self, constraint, argdiffs)
 
     def project(self, key: jax.Array, selection: Selection) -> Weight:
         """log-density of the selected choices, conditioned on the rest."""
