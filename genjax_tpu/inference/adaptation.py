@@ -157,7 +157,7 @@ def run_nuts(
     latents0 = jax.vmap(
         lambda tr: target.filter_to_unconstrained(tr.get_choices())
     )(trs)
-    flat0, unravel = ravel_pytree(
+    _, unravel = ravel_pytree(
         jax.tree_util.tree_map(lambda v: v[0], latents0)
     )
     z0s = jax.vmap(

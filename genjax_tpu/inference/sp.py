@@ -93,6 +93,17 @@ class Algorithm(SampleDistribution):
         w: Weight,
     ) -> Weight: ...
 
+    def estimate_marginal_density(
+        self, key: jax.Array, target: Target, latent_choices: ChoiceMap,
+        w: Weight,
+    ) -> Weight:
+        """+logẐ of the target's constraint given the properly-weighted
+        retained pair — the negation of the reciprocal estimate by
+        default (SMC algorithms override with a fused computation)."""
+        return -self.estimate_reciprocal_normalizing_constant(
+            key, target, latent_choices, w
+        )
+
 
 @Pytree.dataclass
 class Marginal(SampleDistribution):
