@@ -158,6 +158,11 @@ def _sample_batch_rule(vector_args, batch_axes, **params):
 
     def leaf_axis(ax):
         leaves = jtu.tree_leaves(ax, is_leaf=lambda x: x is None)
+        if len(set(leaves)) > 1:
+            raise NotImplementedError(
+                "Mixed batch axes within one argument pytree of an ADEV "
+                f"sample site: {leaves}."
+            )
         return leaves[0] if leaves else None
 
     dims = (leaf_axis(key_ax), *(leaf_axis(ax) for ax in arg_axes))
@@ -399,6 +404,24 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
             )
 
         else:
+            # Guard: sample sites hidden inside call primitives
+            # (scan/while/pjit/custom_jvp) would be differentiated through
+            # the raw sampler by the JVP fallback, silently dropping their
+            # gradient strategy — fail loudly instead.
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", None)
+                seq = v if isinstance(v, (tuple, list)) else ()
+                if (inner is not None and _contains_sample(inner)) or any(
+                    getattr(b, "jaxpr", None) is not None
+                    and _contains_sample(b.jaxpr)
+                    for b in seq
+                ):
+                    raise NotImplementedError(
+                        f"ADEV sample site inside `{eqn.primitive}` is not "
+                        "supported (the gradient strategy would be "
+                        "dropped); hoist the sample out of the "
+                        "scan/while/jit, or use lax.cond (supported)."
+                    )
             flat_primals, flat_tangents = _flat_unzip(invals)
             jvp = jax_ad.primitive_jvps.get(eqn.primitive)
             if jvp is not None and not subfuns:
@@ -407,13 +430,25 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
                 )
             else:
                 # Generic fallback: differentiate the (sample-free) call
-                # primitive as a black box.
-                def as_fn(*xs):
+                # primitive as a black box. Integer/bool operands are
+                # closed over as constants (jax.jvp requires matching
+                # primal/tangent dtypes).
+                diff_idx = [
+                    i for i, p in enumerate(flat_primals)
+                    if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact)
+                ]
+
+                def as_fn(*diffable):
+                    xs = list(flat_primals)
+                    for i, v in zip(diff_idx, diffable):
+                        xs[i] = v
                     outs = eqn.primitive.bind(*subfuns, *xs, **params)
                     return outs if eqn.primitive.multiple_results else [outs]
 
                 primal_outs, tangent_outs = jax.jvp(
-                    as_fn, tuple(flat_primals), tuple(flat_tangents)
+                    as_fn,
+                    tuple(flat_primals[i] for i in diff_idx),
+                    tuple(flat_tangents[i] for i in diff_idx),
                 )
             if not eqn.primitive.multiple_results:
                 primal_outs = [primal_outs]
@@ -421,6 +456,11 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
             for var, p, t in zip(eqn.outvars, primal_outs, tangent_outs):
                 dual_env[var] = Dual(p, t)
 
+    if len(outvars) != 1:
+        raise NotImplementedError(
+            "ADEV programs (and sample-containing lax.cond branches) must "
+            f"have a single output; got {len(outvars)} outputs."
+        )
     (out,) = (dual_env[v] for v in outvars)
     if not isinstance(out, Dual):
         out = Dual(out, _zeros_tangent(out))

@@ -401,7 +401,11 @@ class ImportanceK(SMCAlgorithm):
             q_ws, choices = jax.vmap(
                 self.q.random_weighted, in_axes=(0, None)
             )(sub_keys, target)
-            trs, target_ws = jax.vmap(target.importance)(sub_keys, choices)
+            # Fresh keys for the model's fill-in of unconstrained
+            # addresses (reusing sub_keys would correlate it with the
+            # proposal draws).
+            imp_keys = jax.random.split(key, self.k_particles)
+            trs, target_ws = jax.vmap(target.importance)(imp_keys, choices)
         else:
             q_ws = 0.0
             trs, target_ws = jax.vmap(target.importance, in_axes=(0, None))(
@@ -455,16 +459,19 @@ class ChangeTarget(SMCAlgorithm):
     def get_final_target(self) -> Target:
         return self.target
 
-    def _reweight_collection(self, key, collection) -> ParticleCollection:
-        def reweight(key, particle, weight):
-            latents = self.prev.get_final_target().filter_to_unconstrained(
-                particle.get_choices()
-            )
-            new_tr, new_w = self.target.importance(key, latents)
-            return new_tr, new_w - particle.get_score() + weight
+    def _reweight_particle(self, key, particle, weight):
+        """One particle's fresh importance into the new target; the weight
+        picks up the density ratio (shared by run_smc/run_csmc and the
+        normalizing-constant path)."""
+        latents = self.prev.get_final_target().filter_to_unconstrained(
+            particle.get_choices()
+        )
+        new_tr, new_w = self.target.importance(key, latents)
+        return new_tr, new_w - particle.get_score() + weight
 
+    def _reweight_collection(self, key, collection) -> ParticleCollection:
         sub_keys = jax.random.split(key, self.get_num_particles())
-        new_particles, new_weights = jax.vmap(reweight)(
+        new_particles, new_weights = jax.vmap(self._reweight_particle)(
             sub_keys, collection.get_particles(), collection.get_log_weights()
         )
         return ParticleCollection(
@@ -502,11 +509,8 @@ class ChangeTarget(SMCAlgorithm):
         n = self.get_num_particles()
 
         def reweight(key, particle, weight):
-            latents = self.prev.get_final_target().filter_to_unconstrained(
-                particle.get_choices()
-            )
-            _, new_w = self.target.importance(key, latents)
-            return new_w - particle.get_score() + weight
+            _, w_out = self._reweight_particle(key, particle, weight)
+            return w_out
 
         sub_keys = jax.random.split(key, n - 1)
         rejected = jax.vmap(reweight)(
