@@ -30,6 +30,13 @@ from genjax_tpu.inference.requests import (
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
 from genjax_tpu.inference.smc_sampler import TemperedSMCResult, tempered_smc
 from genjax_tpu.inference.trace_pf import TracePFResult, trace_particle_filter
+from genjax_tpu.inference.transforms import (
+    Bijector,
+    constrain_choices,
+    interval,
+    positive,
+    unconstrain_choices,
+)
 from genjax_tpu.inference.smc import (
     ChangeTarget,
     Importance,
@@ -49,6 +56,11 @@ __all__ = [
     "ParticleFilter",
     "TemperedSMCResult",
     "TracePFResult",
+    "Bijector",
+    "constrain_choices",
+    "interval",
+    "positive",
+    "unconstrain_choices",
     "trace_particle_filter",
     "tempered_smc",
     "bootstrap_filter",

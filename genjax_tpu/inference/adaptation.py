@@ -137,6 +137,7 @@ def run_nuts(
     target_accept: float = 0.8,
     mesh=None,
     axis_name: str = "chains",
+    transforms: dict | None = None,
 ):
     """End-to-end NUTS on a :class:`Target`: initialize chains from the
     prior, warm up (cross-chain adaptation), sample. Returns
@@ -144,18 +145,33 @@ def run_nuts(
 
     With ``mesh``, the chain axis is pinned to ``mesh[axis_name]`` — the
     warmup's cross-chain accept/variance reductions become mesh
-    collectives, and chains run fully data-parallel across devices."""
+    collectives, and chains run fully data-parallel across devices.
+
+    ``transforms``: optional dict mapping (top-level) latent addresses to
+    support bijectors (``"positive"``, ``(low, high)``, or a
+    :class:`~genjax_tpu.inference.transforms.Bijector`) — NUTS then runs
+    in unconstrained space with the change-of-variables correction, and
+    the returned choice maps are on the constrained (model) scale."""
     constrain = (lambda t: t) if mesh is None else (
         lambda t: _shard_chains(t, mesh, axis_name)
     )
     k_init, k_warm, k_sample = jax.random.split(key, 3)
+
+    from genjax_tpu.inference.transforms import (
+        constrain_choices,
+        unconstrain_choices,
+    )
+
+    transforms = transforms or {}
 
     init_keys = jax.random.split(k_init, n_chains)
     trs, _ = jax.vmap(
         lambda k: target.importance(k, ChoiceMap.empty())
     )(init_keys)
     latents0 = jax.vmap(
-        lambda tr: target.filter_to_unconstrained(tr.get_choices())
+        lambda tr: unconstrain_choices(
+            target.filter_to_unconstrained(tr.get_choices()), transforms
+        )
     )(trs)
     _, unravel = ravel_pytree(
         jax.tree_util.tree_map(lambda v: v[0], latents0)
@@ -168,10 +184,9 @@ def run_nuts(
     z0s = constrain(z0s)
 
     def logdensity(z_vec):
-        tr, w = target.importance(
-            jax.random.key(0), unravel(z_vec)
-        )
-        return tr.get_score()
+        chm_x, fldj = constrain_choices(unravel(z_vec), transforms)
+        tr, w = target.importance(jax.random.key(0), chm_x)
+        return tr.get_score() + fldj
 
     z_warm, eps, inv_mass = warmup_chains(
         logdensity, z0s, k_warm, num_warmup, max_depth, target_accept
@@ -191,7 +206,12 @@ def run_nuts(
 
     chain_keys = jax.random.split(k_sample, n_chains)
     zs, infos = jax.vmap(sample_one_chain)(constrain(z_warm), chain_keys)
-    chms = jax.vmap(jax.vmap(unravel))(constrain(zs))
+
+    def to_constrained(z):
+        chm_x, _ = constrain_choices(unravel(z), transforms)
+        return chm_x
+
+    chms = jax.vmap(jax.vmap(to_constrained))(constrain(zs))
     return chms, infos
 
 

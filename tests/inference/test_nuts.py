@@ -123,3 +123,50 @@ class TestEndToEnd:
         assert abs(icepts.mean() - true_icept) < 0.1
         # R-hat-ish: chains agree
         assert np.std(slopes.mean(axis=1)) < 0.1
+
+
+class TestSupportTransforms:
+    def test_positive_constrained_sigma(self):
+        """NUTS samples a positive-constrained noise scale natively via
+        the softplus transform (round-1 required manual log-param)."""
+        xs = jnp.linspace(-1.0, 1.0, 25)
+        ys = 1.2 * xs + 0.1
+
+        @g.gen
+        def model(xs):
+            slope = g.normal(0.0, 2.0) @ "slope"
+            sigma = g.half_normal(1.0) @ "sigma"
+            _ = g.mv_normal_diag(
+                slope * xs, sigma * jnp.ones_like(xs)
+            ) @ "ys"
+
+        target = Target(model, (xs,), g.C["ys"].set(ys))
+        chms, _ = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=2, num_warmup=250, num_samples=300,
+                max_depth=6, transforms={"sigma": "positive"},
+            )
+        )(KEY)
+        sigmas = np.asarray(chms["sigma"])
+        slopes = np.asarray(chms["slope"])
+        assert np.all(sigmas > 0.0)
+        assert abs(slopes.mean() - 1.2) < 0.1
+        assert bool(np.isfinite(sigmas).all())
+
+    def test_interval_transform_roundtrip(self):
+        from genjax_tpu.inference.transforms import (
+            constrain_choices,
+            interval,
+            unconstrain_choices,
+        )
+
+        chm = g.C["p"].set(0.3) | g.C["other"].set(5.0)
+        t = {"p": (0.0, 1.0)}
+        u = unconstrain_choices(chm, t)
+        back, fldj = constrain_choices(u, t)
+        assert abs(float(back["p"]) - 0.3) < 1e-6
+        assert float(back["other"]) == 5.0
+        # fldj finite and matches the analytic sigmoid jacobian:
+        bij = interval(0.0, 1.0)
+        uu = bij.inverse(jnp.asarray(0.3))
+        assert abs(float(fldj) - float(bij.fldj(uu))) < 1e-6
