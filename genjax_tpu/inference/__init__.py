@@ -15,6 +15,7 @@ from genjax_tpu.inference.exact_testbed import (
 )
 from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
 from genjax_tpu.inference.diagnostics import ess_autocorr, split_rhat, summarize
+from genjax_tpu.inference.data_smc import DataSMCResult, data_annealed_smc
 from genjax_tpu.inference.mcmc import chain, mh, multi_chain
 from genjax_tpu.inference.pf import (
     ParticleFilter,
@@ -57,6 +58,8 @@ __all__ = [
     "TemperedSMCResult",
     "TracePFResult",
     "Bijector",
+    "DataSMCResult",
+    "data_annealed_smc",
     "constrain_choices",
     "interval",
     "positive",
