@@ -63,9 +63,10 @@ class SwitchTrace(Trace[Any]):
         idx = self.get_idx()
         if isinstance(idx, int):
             return self.subtraces[idx].get_inner_trace(address)
-        raise NotImplementedError(
-            "get_inner_trace on a Switch with traced index"
-        )
+        # Traced index: select leafwise across branches (requires the
+        # address to exist with matching structure in every branch).
+        subs = [tr.get_inner_trace(address) for tr in self.subtraces]
+        return tree_choose(idx, subs)
 
 
 @Pytree.dataclass
@@ -135,9 +136,14 @@ class Switch(GenerativeFunction[Any]):
         args = Diff.tree_primal(argdiffs)
         idx, branch_args = self._split_args(args)
         idx_diff = argdiffs[0]
-        if isinstance(request, Update) and not Diff.static_check_no_change(
-            idx_diff
-        ):
+        if not Diff.static_check_no_change(idx_diff):
+            if isinstance(request, Regenerate):
+                # Index change + Regenerate: the new branch is freshly
+                # simulated anyway — equivalent to an unconstrained Update.
+                new_tr, w, rd, _bwd = self._edit_index_change(
+                    key, trace, Update(ChoiceMap.empty()), args
+                )
+                return new_tr, w, rd, Update(trace.get_choices())
             return self._edit_index_change(key, trace, request, args)
         # tree_tangent JOINS all branch-arg tangents into one coarse
         # ChangeTangent (sound: NoChange only if everything is unchanged).

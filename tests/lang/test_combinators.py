@@ -514,3 +514,54 @@ class TestScanIndexRequest:
             - jss.norm.logpdf(c[2, "x"], c[1, "x"], 1.0)
         )
         assert jnp.allclose(w, want, atol=1e-5)
+
+
+class TestSwitchIndexChangeRegenerate:
+    def test_regenerate_across_index_change(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def b1():
+            return g.normal(8.0, 1.0) @ "y"
+
+        sw = g.switch(b0, b1)
+        tr = sw.simulate(KEY, (0, (), ()))
+        argdiffs = (
+            g.Diff(1, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        new_tr, w, _, bwd = sw.edit(
+            jax.random.key(1), tr, g.Regenerate(g.S.all()), argdiffs
+        )
+        y = new_tr.get_choices()["y"]
+        y = y.unmask() if isinstance(y, g.Mask) else y
+        assert y > 4.0
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+        # bwd restores the old branch:
+        back_diffs = (
+            g.Diff(0, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        back_tr, _, _, _ = sw.edit(jax.random.key(2), new_tr, bwd,
+                                   back_diffs)
+        assert jnp.allclose(back_tr.get_score(), tr.get_score(), atol=1e-5)
+
+    def test_traced_index_inner_trace(self):
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def b1():
+            return g.normal(10.0, 1.0) @ "x"
+
+        sw = g.switch(b0, b1)
+        tr = jax.jit(sw.simulate)(KEY, (jnp.asarray(1), (), ()))
+        sub = tr.get_inner_trace("x")
+        assert float(sub.get_retval()) > 5.0
