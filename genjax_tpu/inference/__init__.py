@@ -29,7 +29,11 @@ from genjax_tpu.inference.requests import (
     selection_gradient,
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
-from genjax_tpu.inference.smc_sampler import TemperedSMCResult, tempered_smc
+from genjax_tpu.inference.smc_sampler import (
+    TemperedSMCResult,
+    tempered_smc,
+    waste_free_tempered_smc,
+)
 from genjax_tpu.inference.trace_pf import TracePFResult, trace_particle_filter
 from genjax_tpu.inference.transforms import (
     Bijector,
@@ -66,6 +70,7 @@ __all__ = [
     "unconstrain_choices",
     "trace_particle_filter",
     "tempered_smc",
+    "waste_free_tempered_smc",
     "bootstrap_filter",
     "particle_filter",
     "build_test_against_exact_inference",

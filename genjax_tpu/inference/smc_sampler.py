@@ -31,7 +31,7 @@ from genjax_tpu.gfi.concepts import EditRequest
 from genjax_tpu.inference.smc import effective_sample_size, resample_tree
 from genjax_tpu.inference.sp import Target
 
-__all__ = ["tempered_smc", "TemperedSMCResult"]
+__all__ = ["tempered_smc", "waste_free_tempered_smc", "TemperedSMCResult"]
 
 
 class TemperedSMCResult(NamedTuple):
@@ -143,6 +143,122 @@ def tempered_smc(
             rung,
             init_carry,
             (jnp.arange(n_temps), betas[:-1], betas[1:]),
+        )
+        log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
+        return TemperedSMCResult(trs, lw, log_z, accs)
+
+    return run
+
+
+def waste_free_tempered_smc(
+    target: Target,
+    n_resampled: int,
+    n_moves_per_particle: int,
+    n_temps: int = 20,
+    make_request: Callable[[], EditRequest] | None = None,
+    resampling: str = "systematic",
+):
+    """Waste-free SMC (Dau & Chopin 2022) on the temperature ladder: at
+    every rung, resample M = ``n_resampled`` particles, push each through
+    P−1 = ``n_moves_per_particle``−1 MCMC steps, and keep ALL M·P visited
+    states as the next (equally weighted) ensemble of N = M·P particles —
+    no rejuvenation work is discarded.
+
+    Returns ``run(key) -> TemperedSMCResult`` with N-particle outputs."""
+    m, p = n_resampled, n_moves_per_particle
+    n_particles = m * p
+    lik_sel = target.constraint.get_selection()
+
+    if make_request is None:
+        from genjax_tpu.gfi.requests import Regenerate
+
+        unconstrained = ~lik_sel
+
+        def make_request():
+            return Regenerate(unconstrained)
+
+    betas = jnp.linspace(0.0, 1.0, n_temps + 1)
+
+    def loglik_of(key, tr):
+        return tr.get_gen_fn().project(key, tr, lik_sel)
+
+    def run(key: jax.Array) -> TemperedSMCResult:
+        k_init, k_anneal = jax.random.split(key)
+        init_keys = jax.vmap(
+            lambda i: jax.random.fold_in(k_init, i)
+        )(jnp.arange(n_particles))
+        trs, _ = jax.vmap(
+            lambda k: target.importance(k, ChoiceMap.empty())
+        )(init_keys)
+        logliks = jax.vmap(loglik_of)(init_keys, trs)
+
+        def rung(carry, inp):
+            t, beta_prev, beta = inp
+            trs, logliks, lw, log_z = carry
+            k_t = jax.random.fold_in(k_anneal, t)
+            k_res, k_move = jax.random.split(k_t)
+
+            # Reweight to the next temperature, then ALWAYS resample M
+            # starters and absorb the mass (waste-free scheme).
+            lw = lw + (beta - beta_prev) * logliks
+            log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
+            starters = resample_tree(
+                k_res, lw, (trs, logliks), m, resampling
+            )
+            s_trs, s_liks = starters
+
+            # Each starter runs a P-1-step chain at temperature beta;
+            # every visited state (incl. the starter) joins the ensemble.
+            def one_chain(i, tr, loglik):
+                ck = jax.random.fold_in(k_move, i)
+
+                def mh_step(carry, j):
+                    tr, loglik, acc = carry
+                    pk = jax.random.fold_in(ck, j)
+                    pk_e, pk_l, pk_a = jax.random.split(pk, 3)
+                    new_tr, w, _rd, _bwd = tr.edit(pk_e, make_request())
+                    new_loglik = loglik_of(pk_l, new_tr)
+                    alpha = w + (beta - 1.0) * (new_loglik - loglik)
+                    accept = (
+                        jnp.log(jax.random.uniform(pk_a, ())) < alpha
+                    )
+                    out_tr = jtu.tree_map(
+                        lambda a, b: jnp.where(accept, a, b), new_tr, tr
+                    )
+                    out_lik = jnp.where(accept, new_loglik, loglik)
+                    return (out_tr, out_lik, acc + accept), (out_tr,
+                                                            out_lik)
+
+                (_, _, acc), (chain_trs, chain_liks) = lax.scan(
+                    mh_step, (tr, loglik, jnp.zeros(())),
+                    jnp.arange(p - 1),
+                )
+                # Prepend the starter state.
+                all_trs = jtu.tree_map(
+                    lambda s, c: jnp.concatenate(
+                        [jnp.asarray(s)[None], c], axis=0
+                    ),
+                    tr, chain_trs,
+                )
+                all_liks = jnp.concatenate([loglik[None], chain_liks])
+                return all_trs, all_liks, acc / jnp.maximum(p - 1, 1)
+
+            chains_trs, chains_liks, accs = jax.vmap(one_chain)(
+                jnp.arange(m), s_trs, s_liks
+            )
+            # (M, P, ...) -> (N, ...)
+            trs = jtu.tree_map(
+                lambda v: v.reshape((n_particles,) + v.shape[2:]),
+                chains_trs,
+            )
+            logliks = chains_liks.reshape((n_particles,))
+            return (trs, logliks, jnp.zeros(n_particles), log_z), jnp.mean(
+                accs
+            )
+
+        init_carry = (trs, logliks, jnp.zeros(n_particles), jnp.zeros(()))
+        (trs, logliks, lw, log_z), accs = lax.scan(
+            rung, init_carry, (jnp.arange(n_temps), betas[:-1], betas[1:])
         )
         log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
         return TemperedSMCResult(trs, lw, log_z, accs)

@@ -67,3 +67,36 @@ class TestTemperedSMC:
         )
         # HMC at these scales should accept most moves.
         assert float(result.accept_rate.mean()) > 0.6
+
+
+class TestWasteFree:
+    def test_waste_free_logz_and_posterior(self):
+        from genjax_tpu.inference.smc_sampler import waste_free_tempered_smc
+
+        run = waste_free_tempered_smc(
+            make_target(), n_resampled=128, n_moves_per_particle=8,
+            n_temps=15,
+        )
+        result = jax.jit(run)(KEY)
+        np.testing.assert_allclose(
+            float(result.log_z), exact_logz(), atol=0.08
+        )
+        mus = np.asarray(result.traces.get_choices()["mu"])
+        assert mus.shape == (1024,)
+        post_mean = 1.0 / 1.25
+        w = np.asarray(jax.nn.softmax(result.log_weights))
+        assert abs((w * mus).sum() - post_mean) < 0.05
+
+    def test_waste_free_hmc(self):
+        from genjax_tpu.inference.smc_sampler import waste_free_tempered_smc
+
+        run = waste_free_tempered_smc(
+            make_target(), n_resampled=64, n_moves_per_particle=4,
+            n_temps=10,
+            make_request=lambda: HMC(g.S.at["mu"], 0.25, 5),
+        )
+        result = jax.jit(run)(KEY)
+        np.testing.assert_allclose(
+            float(result.log_z), exact_logz(), atol=0.15
+        )
+        assert float(result.accept_rate.mean()) > 0.5
