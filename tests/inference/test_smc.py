@@ -175,3 +175,25 @@ class TestMarginal:
         want = sbeta(2, 2).logpdf(0.3)
         got = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
         assert jnp.abs(got - want) < 5e-2
+
+
+class TestMarginalWithAlgorithm:
+    def test_marginal_with_importancek_algorithm(self):
+        """Marginal backed by a K-particle algorithm instead of the
+        default 1-particle Importance."""
+        m = beta_bernoulli.marginal(
+            selection=g.S.at["p"],
+            algorithm=ImportanceK(
+                Target(beta_bernoulli, (2.0, 2.0), g.ChoiceMap.empty()),
+                k_particles=8,
+            ),
+        )
+        keys = jax.random.split(KEY, 100)
+        est = jax.vmap(
+            lambda k: m.estimate_logpdf(k, g.C["p"].set(0.3), 2.0, 2.0)
+        )(keys)
+        from scipy.stats import beta as sbeta
+
+        want = sbeta(2, 2).logpdf(0.3)
+        got = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
+        assert jnp.abs(got - want) < 5e-2
