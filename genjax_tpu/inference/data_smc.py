@@ -59,8 +59,6 @@ def data_annealed_smc(
     addresses). ``make_request``/``n_moves``: optional rejuvenation moves
     (MH-corrected; the request weight is the log acceptance ratio at the
     full current posterior)."""
-    n_steps = len(schedule)
-
     def run(key: jax.Array) -> DataSMCResult:
         k_init, k_anneal = jax.random.split(key)
         init_keys = jax.vmap(

@@ -79,7 +79,7 @@ def trace_particle_filter(
             t, obs_t = inp
             trs, lw, log_z = carry
             k_t = jax.random.fold_in(k_scan, t)
-            k_res, k_edit = jax.random.split(k_t)
+            k_res, k_refresh, k_edit = jax.random.split(k_t, 3)
 
             # Adaptive resampling on current weights.
             ess = effective_sample_size(lw)
@@ -96,7 +96,7 @@ def trace_particle_filter(
                     req = Regenerate(Selection.idx_above(t - 1))
 
                     def refresh(i, tr):
-                        pk = jax.random.fold_in(k_res, i + 1)
+                        pk = jax.random.fold_in(k_refresh, i)
                         new_tr, _w, _rd, _bwd = tr.edit(pk, req)
                         return new_tr
 
