@@ -462,7 +462,19 @@ class Fn(GenerativeFunction[Any]):
         return Fn(kwarged_source)
 
     def partial_apply(self, *pre_args) -> "Fn":
-        """Fix leading arguments. Parity: reference ``static.py:1011-1040``."""
+        """Fix leading arguments (STATIC values only — the partial lives in
+        the treedef). Parity: reference ``static.py:1011-1040``."""
+        import jax.core as _core
+
+        for a in pre_args:
+            for leaf in jax.tree_util.tree_leaves(a):
+                if isinstance(leaf, _core.Tracer):
+                    raise TypeError(
+                        "partial_apply received a traced value; traced "
+                        "arguments must flow through the gen fn's normal "
+                        "argument list (or a Closure), not the static "
+                        "partial."
+                    )
         partial = functools.partial(self.source, *pre_args)
         functools.update_wrapper(partial, self.source)
         return Fn(partial)
