@@ -291,6 +291,40 @@ def _contains_sample(jaxpr) -> bool:
     return False
 
 
+def _site_prim_structure(eqn):
+    """Reconstruct the (static structure of the) ADEVPrimitive bound at a
+    sample_p eqn without concrete operands."""
+    in_tree = eqn.params["in_tree"]
+    n_leaves = in_tree.num_leaves
+    prim, *_ = jtu.tree_unflatten(in_tree, [None] * n_leaves)
+    return prim
+
+
+def _all_samples_tail_call(jaxpr) -> bool:
+    """True iff every sample site (recursively) uses a tail-call
+    (reparameterized) strategy — for those, plain pathwise JVP through the
+    raw sampler IS the correct gradient, so black-box differentiation of
+    an enclosing scan/while/pjit is sound."""
+    ok = True
+    for eqn in jaxpr.eqns:
+        if eqn.primitive is sample_p:
+            try:
+                prim = _site_prim_structure(eqn)
+            except Exception:
+                return False
+            ok = ok and hasattr(prim, "before_tail_call")
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None:
+                ok = ok and _all_samples_tail_call(inner)
+            if isinstance(v, (tuple, list)):
+                for b in v:
+                    bj = getattr(b, "jaxpr", None)
+                    if bj is not None:
+                        ok = ok and _all_samples_tail_call(bj)
+    return ok
+
+
 def _env_primal(env: Environment) -> Environment:
     new = Environment()
     for count, val in env.env.items():
@@ -405,26 +439,43 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
 
         else:
             # Guard: sample sites hidden inside call primitives
-            # (scan/while/pjit/custom_jvp) would be differentiated through
-            # the raw sampler by the JVP fallback, silently dropping their
-            # gradient strategy — fail loudly instead.
+            # (scan/while/pjit/custom_jvp) are differentiated through the
+            # raw sampler by the JVP fallback. That is CORRECT (pathwise)
+            # when every inner site uses a tail-call/reparameterized
+            # strategy, and silently wrong otherwise — so allow the
+            # former, fail loudly for the latter.
             for v in eqn.params.values():
                 inner = getattr(v, "jaxpr", None)
                 seq = v if isinstance(v, (tuple, list)) else ()
-                if (inner is not None and _contains_sample(inner)) or any(
-                    getattr(b, "jaxpr", None) is not None
-                    and _contains_sample(b.jaxpr)
-                    for b in seq
-                ):
-                    raise NotImplementedError(
-                        f"ADEV sample site inside `{eqn.primitive}` is not "
-                        "supported (the gradient strategy would be "
-                        "dropped); hoist the sample out of the "
-                        "scan/while/jit, or use lax.cond (supported)."
-                    )
+                inners = ([inner] if inner is not None else []) + [
+                    b.jaxpr for b in seq
+                    if getattr(b, "jaxpr", None) is not None
+                ]
+                for ij in inners:
+                    if _contains_sample(ij) and not _all_samples_tail_call(
+                        ij
+                    ):
+                        raise NotImplementedError(
+                            f"ADEV sample site inside `{eqn.primitive}` "
+                            "uses a non-pathwise gradient strategy (the "
+                            "JVP fallback would drop it); use "
+                            "reparameterized primitives inside "
+                            "scan/while/jit, hoist the site out, or use "
+                            "lax.cond (supported)."
+                        )
             flat_primals, flat_tangents = _flat_unzip(invals)
             jvp = jax_ad.primitive_jvps.get(eqn.primitive)
-            if jvp is not None and not subfuns:
+            # Call-like primitives (inner-jaxpr params: scan/while/pjit/
+            # custom_jvp) have jvp rules with bespoke calling conventions —
+            # use the black-box jax.jvp path for them.
+            has_inner = any(
+                getattr(v, "jaxpr", None) is not None
+                or (isinstance(v, (tuple, list)) and any(
+                    getattr(b, "jaxpr", None) is not None for b in v
+                ))
+                for v in eqn.params.values()
+            )
+            if jvp is not None and not subfuns and not has_inner:
                 primal_outs, tangent_outs = jvp(
                     flat_primals, flat_tangents, **params
                 )
@@ -442,14 +493,21 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
                     xs = list(flat_primals)
                     for i, v in zip(diff_idx, diffable):
                         xs[i] = v
-                    outs = eqn.primitive.bind(*subfuns, *xs, **params)
-                    return outs if eqn.primitive.multiple_results else [outs]
+                    # NOTE: no list-wrapping here — the shared
+                    # post-processing below normalizes single results.
+                    return eqn.primitive.bind(*subfuns, *xs, **params)
 
-                primal_outs, tangent_outs = jax.jvp(
-                    as_fn,
-                    tuple(flat_primals[i] for i in diff_idx),
-                    tuple(flat_tangents[i] for i in diff_idx),
-                )
+                if diff_idx:
+                    primal_outs, tangent_outs = jax.jvp(
+                        as_fn,
+                        tuple(flat_primals[i] for i in diff_idx),
+                        tuple(flat_tangents[i] for i in diff_idx),
+                    )
+                else:
+                    primal_outs = as_fn()
+                    tangent_outs = jtu.tree_map(
+                        _zeros_tangent, primal_outs
+                    )
             if not eqn.primitive.multiple_results:
                 primal_outs = [primal_outs]
                 tangent_outs = [tangent_outs]

@@ -48,7 +48,28 @@ class InitialStylePrimitive(jex_core.Primitive):
 
         def jvp_rule(primals, tangents, **params):
             impl_fn = functools.partial(params["impl"], **params)
-            return jax.jvp(impl_fn, primals, tangents)
+            # Operands with symbolic-zero tangents (keys, ints, consts)
+            # are closed over as constants — jax.jvp requires matching
+            # primal/tangent structures and dtypes.
+            diff_idx = [
+                i for i, t in enumerate(tangents)
+                if not isinstance(t, ad.Zero)
+            ]
+            if not diff_idx:
+                outs = impl_fn(*primals)
+                return outs, [ad.Zero.from_primal_value(o) for o in outs]
+
+            def fn(*diffable):
+                xs = list(primals)
+                for i, v in zip(diff_idx, diffable):
+                    xs[i] = v
+                return impl_fn(*xs)
+
+            return jax.jvp(
+                fn,
+                tuple(primals[i] for i in diff_idx),
+                tuple(tangents[i] for i in diff_idx),
+            )
 
         ad.primitive_jvps[self] = jvp_rule
 

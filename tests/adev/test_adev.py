@@ -224,3 +224,37 @@ class TestBatchedSites:
 
         with pytest.raises(NotImplementedError):
             loss.grad_estimate(KEY, (0.3,))
+
+
+class TestScanSites:
+    def test_reparam_inside_scan_pathwise(self):
+        """Reparameterized sites inside lax.scan differentiate pathwise
+        (a random-walk guide): d/dmu E[x_T] = 1."""
+
+        @expectation
+        def loss(mu):
+            def body(x, key_i):
+                x_new = normal_reparam(x, 0.3)
+                return x_new, None
+
+            x_T, _ = jax.lax.scan(body, mu, jnp.arange(5))
+            return x_T
+
+        keys = jax.random.split(KEY, 500)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.0,))[0])(keys)
+        assert abs(float(gs.mean()) - 1.0) < 0.05
+
+    def test_reinforce_inside_scan_raises(self):
+        import pytest
+
+        @expectation
+        def loss(p):
+            def body(c, i):
+                b = flip_reinforce(p)
+                return c + jnp.where(b, 1.0, 0.0), None
+
+            tot, _ = jax.lax.scan(body, 0.0, jnp.arange(3))
+            return tot
+
+        with pytest.raises(NotImplementedError):
+            loss.grad_estimate(KEY, (0.3,))
