@@ -76,6 +76,10 @@ class TailCallADEVPrimitive(ADEVPrimitive):
 
     Parity: reference ``adev/core.py:86-132``."""
 
+    #: Pathwise-safe marker: plain JVP through ``sample`` is the correct
+    #: gradient, so these sites may live inside scan/while/pjit.
+    is_tail_call = True
+
     def before_tail_call(self, key, dual_args) -> "Dual":
         raise NotImplementedError
 
@@ -96,6 +100,8 @@ class BatchedTailCallPrimitive(ADEVPrimitive):
     bind operands automatically).
 
     Parity: reference ``adev/core.py:108-132``."""
+
+    is_tail_call = True
 
     original: ADEVPrimitive
     lane_keys: Any
@@ -312,7 +318,10 @@ def _all_samples_tail_call(jaxpr) -> bool:
                 prim = _site_prim_structure(eqn)
             except Exception:
                 return False
-            ok = ok and hasattr(prim, "before_tail_call")
+            ok = ok and (
+                getattr(prim, "is_tail_call", False)
+                or hasattr(prim, "before_tail_call")
+            )
         for v in eqn.params.values():
             inner = getattr(v, "jaxpr", None)
             if inner is not None:

@@ -125,13 +125,32 @@ class Mask(Pytree, Generic[T]):
 
     # -- algebra ----------------------------------------------------------
 
+    @staticmethod
+    def _broadcast_values(a, b):
+        """Leafwise broadcast so lane-flagged combinations of scalar and
+        per-lane values stack cleanly."""
+
+        def bc(x, y):
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            shp = jnp.broadcast_shapes(x.shape, y.shape)
+            return jnp.broadcast_to(x, shp), jnp.broadcast_to(y, shp)
+
+        pairs = jtu.tree_map(bc, a, b)
+        return (
+            jtu.tree_map(lambda p: p[0], pairs,
+                         is_leaf=lambda p: isinstance(p, tuple)),
+            jtu.tree_map(lambda p: p[1], pairs,
+                         is_leaf=lambda p: isinstance(p, tuple)),
+        )
+
     def __or__(self, other: "Mask[T]") -> "Mask[T]":
         """Disjunction: valid if either is; prefers ``self``'s value when
         both valid. Parity: reference ``functional_types.py:283-315``."""
         assert isinstance(other, Mask)
         new_flag = FlagOp.or_(self.flag, other.flag)
         idx = FlagOp.where(self.flag, 0, 1)
-        value = tree_choose(idx, [self.value, other.value])
+        va, vb = Mask._broadcast_values(self.value, other.value)
+        value = tree_choose(idx, [va, vb])
         return Mask(value, new_flag)
 
     def __xor__(self, other: "Mask[T]") -> "Mask[T]":
@@ -141,7 +160,8 @@ class Mask(Pytree, Generic[T]):
         assert isinstance(other, Mask)
         new_flag = FlagOp.xor_(self.flag, other.flag)
         idx = FlagOp.where(self.flag, 0, 1)
-        value = tree_choose(idx, [self.value, other.value])
+        va, vb = Mask._broadcast_values(self.value, other.value)
+        value = tree_choose(idx, [va, vb])
         return Mask(value, new_flag)
 
     @staticmethod

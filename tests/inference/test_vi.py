@@ -135,3 +135,50 @@ class TestBetaImplicit:
         gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.5,))[0])(keys)
         want = 2.0 / (1.5 + 2.0) ** 2
         assert jnp.abs(gs.mean() - want) < 0.02
+
+
+class TestScanGuideVI:
+    def test_elbo_with_scan_guide(self):
+        """A state-space guide whose body is a lax.scan of reparameterized
+        sites — trainable end-to-end through ADEV (requires the
+        reparam-in-scan pathwise JVP support)."""
+        T = 4
+        obs = jnp.full(T, 2.0)
+
+        @g.gen
+        def ssm(shift):
+            # random walk latents + observations
+            @g.gen
+            def step(carry, _):
+                x = g.normal(carry, 0.5) @ "x"
+                y = g.normal(x, 0.3) @ "y"
+                return x, None
+
+            _ = step.scan(n=T)(shift, None) @ "chain"
+
+        obs_chm = g.ChoiceMap.empty()
+        for t in range(T):
+            obs_chm = obs_chm | g.C["chain", t, "y"].set(obs[t])
+
+        @marginal()
+        @g.gen
+        def guide(target):
+            (shift,) = target.args
+
+            @g.gen
+            def gstep(carry, _):
+                x = vi.normal_reparam(carry * 0.0 + shift, 0.4) @ "x"
+                return x, None
+
+            _ = gstep.scan(n=T)(shift, None) @ "chain"
+
+        elbo_grad = jax.jit(vi.ELBO(
+            guide, lambda shift: Target(ssm, (shift,), obs_chm)
+        ))
+        shift = 0.0
+        for i in range(150):
+            (dv,) = elbo_grad(jax.random.fold_in(KEY, i), (shift,))
+            shift -= 5e-3 * dv
+        # The guide mean should move toward the observations (2.0-ish).
+        assert shift > 1.0, shift
+        assert bool(jnp.isfinite(jnp.asarray(shift)))
