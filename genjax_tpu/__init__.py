@@ -64,6 +64,9 @@ from genjax_tpu.lang.distributions import __all__ as _dist_all
 from genjax_tpu.lang.combinators import *  # noqa: F401,F403
 from genjax_tpu.lang.combinators import __all__ as _comb_all
 
+# Subpackage re-exports for `g.inference...` style access.
+from genjax_tpu import adev, inference, models, ops, parallel, utils  # noqa: E402,F401
+
 #: ``S`` — the selection builder: ``S["x"]``, ``S.all()``, ...
 S = Selection
 
@@ -71,6 +74,12 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AddressReuse",
+    "adev",
+    "inference",
+    "models",
+    "ops",
+    "parallel",
+    "utils",
     "Argdiffs",
     "C",
     "ChoiceMap",
