@@ -34,6 +34,8 @@ __all__ = [
     "MvNormalREPARAM",
     "UniformREPARAM",
     "BetaIMPLICIT",
+    "GammaIMPLICIT",
+    "DirichletIMPLICIT",
     "Baseline",
     "baseline",
     "AddCost",
@@ -50,6 +52,8 @@ __all__ = [
     "mv_normal_reparam",
     "uniform",
     "beta_implicit",
+    "gamma_implicit",
+    "dirichlet_implicit",
 ]
 
 
@@ -329,6 +333,58 @@ class BetaIMPLICIT(TailCallADEVPrimitive):
 
 
 @Pytree.dataclass
+class GammaIMPLICIT(TailCallADEVPrimitive):
+    """Gamma(shape, rate) via implicit reparameterization.
+
+    ``jax.random.gamma`` carries a built-in implicit derivative w.r.t. the
+    shape parameter (XLA's ``RandomGammaGrad``, i.e. the Figurnov et al.
+    2018 gradient −(∂F/∂α)/p(x;α)), so a plain ``jax.jvp`` through the
+    fixed-key sampler is exact — no quadrature needed (contrast
+    :class:`BetaIMPLICIT`, where ``jr.beta``'s two-gamma composition is
+    bypassed for a direct CDF computation). Rate enters pathwise as
+    ``x = z / rate``. New scope vs the reference (its ADEV layer stops at
+    Beta; see ``/root/reference/src/genjax/_src/adev/primitives.py:392``).
+    """
+
+    def sample(self, key, shape, rate):
+        return jr.gamma(key, shape) / rate
+
+    def before_tail_call(self, key, dual_args):
+        shape_dual, rate_dual = dual_args
+        key, sub_key = jax.random.split(key)
+        primal_out, tangent_out = jax.jvp(
+            lambda s, r: jr.gamma(sub_key, s) / r,
+            (shape_dual.primal, rate_dual.primal),
+            (shape_dual.tangent, rate_dual.tangent),
+        )
+        return Dual(primal_out, tangent_out)
+
+
+@Pytree.dataclass
+class DirichletIMPLICIT(TailCallADEVPrimitive):
+    """Dirichlet(alpha) via the normalized-gamma construction
+    ``x_i = z_i / Σz_j``, ``z_i ~ Gamma(alpha_i, 1)``, with implicit
+    shape gradients flowing through ``jr.gamma``'s built-in derivative.
+    New scope vs the reference ADEV layer."""
+
+    def sample(self, key, alpha):
+        return jr.dirichlet(key, alpha)
+
+    def before_tail_call(self, key, dual_args):
+        (alpha_dual,) = dual_args
+        key, sub_key = jax.random.split(key)
+
+        def transform(alpha):
+            z = jr.gamma(sub_key, alpha)
+            return z / jnp.sum(z, axis=-1, keepdims=True)
+
+        primal_out, tangent_out = jax.jvp(
+            transform, (alpha_dual.primal,), (alpha_dual.tangent,)
+        )
+        return Dual(primal_out, tangent_out)
+
+
+@Pytree.dataclass
 class Baseline(ADEVPrimitive):
     """Variance-reduced REINFORCE: control variate ``b`` subtracted from
     the continuation value in the score-function term; takes ``(b, *args)``.
@@ -400,6 +456,8 @@ mv_normal_diag_reparam = MvNormalDiagREPARAM()
 mv_normal_reparam = MvNormalREPARAM()
 uniform = UniformREPARAM()
 beta_implicit = BetaIMPLICIT()
+gamma_implicit = GammaIMPLICIT()
+dirichlet_implicit = DirichletIMPLICIT()
 
 flip_reinforce = reinforce(
     lambda key, p: jr.bernoulli(key, p),

@@ -41,6 +41,8 @@ __all__ = [
     "mv_normal_reparam",
     "geometric_reinforce",
     "beta_implicit",
+    "gamma_implicit",
+    "dirichlet_implicit",
 ]
 
 
@@ -106,6 +108,14 @@ geometric_reinforce = adev_distribution(
 )
 beta_implicit = adev_distribution(
     adev_prims.beta_implicit, _logpdf_of(stdlib.beta), "beta_implicit"
+)
+gamma_implicit = adev_distribution(
+    adev_prims.gamma_implicit, _logpdf_of(stdlib.gamma), "gamma_implicit"
+)
+dirichlet_implicit = adev_distribution(
+    adev_prims.dirichlet_implicit,
+    _logpdf_of(stdlib.dirichlet),
+    "dirichlet_implicit",
 )
 
 
