@@ -137,7 +137,7 @@ def run_nuts(
     target_accept: float = 0.8,
     mesh=None,
     axis_name: str = "chains",
-    transforms: dict | None = None,
+    transforms: "dict | str | None" = None,
 ):
     """End-to-end NUTS on a :class:`Target`: initialize chains from the
     prior, warm up (cross-chain adaptation), sample. Returns
@@ -147,11 +147,14 @@ def run_nuts(
     warmup's cross-chain accept/variance reductions become mesh
     collectives, and chains run fully data-parallel across devices.
 
-    ``transforms``: optional dict mapping (top-level) latent addresses to
-    support bijectors (``"positive"``, ``(low, high)``, or a
+    ``transforms``: optional dict mapping latent addresses (flat, or
+    nested tuple paths) to support bijectors (``"positive"``,
+    ``(low, high)``, or a
     :class:`~genjax_tpu.inference.transforms.Bijector`) — NUTS then runs
     in unconstrained space with the change-of-variables correction, and
-    the returned choice maps are on the constrained (model) scale."""
+    the returned choice maps are on the constrained (model) scale. Pass
+    ``transforms="auto"`` to derive the dict from the distributions'
+    support metadata (``infer_transforms``)."""
     constrain = (lambda t: t) if mesh is None else (
         lambda t: _shard_chains(t, mesh, axis_name)
     )
@@ -159,9 +162,15 @@ def run_nuts(
 
     from genjax_tpu.inference.transforms import (
         constrain_choices,
+        infer_transforms,
         unconstrain_choices,
     )
 
+    if transforms == "auto":
+        probe_tr, _ = target.importance(jax.random.key(0), ChoiceMap.empty())
+        transforms = infer_transforms(
+            probe_tr, exclude=lambda addr: addr in target.constraint
+        )
     transforms = transforms or {}
 
     init_keys = jax.random.split(k_init, n_chains)

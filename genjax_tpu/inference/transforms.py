@@ -14,9 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from genjax_tpu.gfi.choice_map import ChoiceMap
+from genjax_tpu.gfi.selection import Selection
 
-__all__ = ["Bijector", "identity", "positive", "interval", "get_bijector",
-           "constrain_choices", "unconstrain_choices"]
+__all__ = ["Bijector", "identity", "positive", "interval", "simplex",
+           "get_bijector", "constrain_choices", "unconstrain_choices",
+           "infer_transforms"]
 
 
 class Bijector(NamedTuple):
@@ -55,7 +57,58 @@ def interval(low: float, high: float) -> Bijector:
     )
 
 
-_NAMED = {"identity": identity, "positive": positive}
+def _stick_breaking_offsets(km1):
+    # Stan's offset: u = 0 maps to the uniform simplex.
+    return -jnp.log(jnp.arange(km1, 0, -1, dtype=jnp.float32))
+
+
+def _simplex_forward(u):
+    """u ∈ R^{K-1} → x ∈ Δ^{K-1} (K components) via stick-breaking."""
+    t = u + _stick_breaking_offsets(u.shape[-1])
+    z = jax.nn.sigmoid(t)
+    om = 1.0 - z
+    cp = jnp.concatenate([jnp.ones(u.shape[:-1] + (1,)),
+                          jnp.cumprod(om, axis=-1)], axis=-1)
+    head = z * cp[..., :-1]
+    return jnp.concatenate([head, cp[..., -1:]], axis=-1)
+
+
+def _simplex_inverse(x):
+    head = x[..., :-1]
+    rem = jnp.concatenate(
+        [jnp.ones(x.shape[:-1] + (1,)),
+         1.0 - jnp.cumsum(head, axis=-1)[..., :-1]],
+        axis=-1,
+    )
+    z = jnp.clip(head / rem, 1e-12, 1.0 - 1e-12)
+    return jax.scipy.special.logit(z) - _stick_breaking_offsets(
+        head.shape[-1]
+    )
+
+
+def _simplex_fldj(u):
+    # Triangular Jacobian: |J| = Π_k σ'(t_k) · (remaining stick)_k.
+    t = u + _stick_breaking_offsets(u.shape[-1])
+    z = jax.nn.sigmoid(t)
+    cp = jnp.concatenate([jnp.ones(u.shape[:-1] + (1,)),
+                          jnp.cumprod(1.0 - z, axis=-1)[..., :-1]], axis=-1)
+    return jnp.sum(
+        jax.nn.log_sigmoid(t) + jax.nn.log_sigmoid(-t) + jnp.log(cp)
+    )
+
+
+#: Δ^{K-1} via stick-breaking (Stan-style offsets); note the unconstrained
+#: side has K-1 dims for a K-component simplex — ``constrain_choices``
+#: handles the shape change because raveling happens on the
+#: unconstrained choice map.
+simplex = Bijector(
+    forward=_simplex_forward,
+    inverse=_simplex_inverse,
+    fldj=_simplex_fldj,
+)
+
+
+_NAMED = {"identity": identity, "positive": positive, "simplex": simplex}
 
 
 def get_bijector(spec) -> Bijector:
@@ -68,9 +121,14 @@ def get_bijector(spec) -> Bijector:
     raise ValueError(f"Unknown bijector spec: {spec!r}")
 
 
+def _addr_path(addr) -> tuple:
+    return addr if isinstance(addr, tuple) else (addr,)
+
+
 def constrain_choices(chm_u: ChoiceMap, transforms: dict):
-    """Map the (top-level) addresses listed in ``transforms`` from
-    unconstrained to constrained values; returns ``(chm_x, sum_fldj)``."""
+    """Map the addresses listed in ``transforms`` (flat or nested tuple
+    paths) from unconstrained to constrained values; returns
+    ``(chm_x, sum_fldj)``."""
     fldj = jnp.zeros(())
     out = chm_u
     for addr, spec in transforms.items():
@@ -78,7 +136,12 @@ def constrain_choices(chm_u: ChoiceMap, transforms: dict):
         u = chm_u[addr]
         x = bij.forward(u)
         fldj = fldj + bij.fldj(u)
-        out = ChoiceMap.entry(x, addr) | out
+        # Drop the old leaf before inserting: shape-changing bijectors
+        # (simplex: K-1 -> K) would otherwise leave a stale, differently-
+        # shaped leaf shadowed under the Or node.
+        out = ChoiceMap.entry(x, *_addr_path(addr)) | out.filter(
+            ~Selection.at[_addr_path(addr)]
+        )
     return out, fldj
 
 
@@ -88,5 +151,47 @@ def unconstrain_choices(chm_x: ChoiceMap, transforms: dict) -> ChoiceMap:
     for addr, spec in transforms.items():
         bij = get_bijector(spec)
         x = chm_x[addr]
-        out = ChoiceMap.entry(bij.inverse(x), addr) | out
+        out = ChoiceMap.entry(bij.inverse(x), *_addr_path(addr)) | out.filter(
+            ~Selection.at[_addr_path(addr)]
+        )
+    return out
+
+
+def infer_transforms(trace, *, exclude=None) -> dict:
+    """Derive a transforms dict automatically from the support metadata of
+    the distributions in a (concrete) trace — walks nested ``@gen``
+    subtraces; addresses of depth > 1 become tuple keys.
+
+    ``exclude(addr) -> bool`` skips addresses (e.g. observed sites).
+    Sites with no support metadata or non-float values are left
+    untransformed; ``"simplex"`` maps to the stick-breaking bijector.
+    New scope vs the reference (its HMC had no support handling at
+    all)."""
+    from genjax_tpu.lang.distributions.distribution import DistributionTrace
+    from genjax_tpu.lang.static import StaticTrace
+
+    out: dict = {}
+
+    def walk(tr, path):
+        if isinstance(tr, StaticTrace):
+            for addr, sub in zip(tr.addresses, tr.subtraces):
+                walk(sub, path + (addr,))
+        elif isinstance(tr, DistributionTrace):
+            v = tr.get_retval()
+            if not jnp.issubdtype(jnp.result_type(v), jnp.floating):
+                return
+            spec = tr.get_gen_fn().get_support(*tr.get_args())
+            if spec is None:
+                return
+            if spec == "unit_interval":
+                spec = (0.0, 1.0)
+            addr = path[0] if len(path) == 1 else path
+            if exclude is not None and exclude(addr):
+                return
+            out[addr] = spec
+        # Other trace types (Vmap/Scan/Switch) are skipped: per-lane /
+        # per-step transforms need Indexed-aware bijector application
+        # (ROADMAP).
+
+    walk(trace, ())
     return out

@@ -101,6 +101,14 @@ class Distribution(GenerativeFunction[Any]):
     @abc.abstractmethod
     def estimate_logpdf(self, key: jax.Array, v: Any, *args) -> Score: ...
 
+    def get_support(self, *args):
+        """Support metadata for gradient-based samplers (automatic
+        bijector selection — see ``inference/transforms.py``): ``None``
+        (real line / unknown), ``"positive"``, ``"unit_interval"``,
+        ``"simplex"``, or an ``(low, high)`` tuple. New scope vs the
+        reference (no support metadata there)."""
+        return None
+
     # -- GFI --------------------------------------------------------------
 
     def simulate(self, key: jax.Array, args: tuple) -> DistributionTrace:
@@ -279,6 +287,7 @@ class ExactDensityFromCallables(ExactDensity):
     sampler: Callable = Pytree.static()
     logpdf_fn: Callable = Pytree.static()
     name: str = Pytree.static(default="exact_density")
+    support: Any = Pytree.static(default=None)
 
     def sample(self, key, *args):
         return self.sampler(key, *args)
@@ -286,13 +295,23 @@ class ExactDensityFromCallables(ExactDensity):
     def logpdf(self, v, *args):
         return self.logpdf_fn(v, *args)
 
+    def get_support(self, *args):
+        # A callable spec derives the support from the distribution args
+        # (e.g. uniform: ``lambda low, high: (low, high)``).
+        if callable(self.support):
+            return self.support(*args)
+        return self.support
+
     def __repr__(self):
         return f"genjax_tpu.{self.name}"
 
 
 def exact_density(sample: Callable, logpdf: Callable,
-                  name: str = "exact_density") -> ExactDensityFromCallables:
+                  name: str = "exact_density",
+                  support: Any = None) -> ExactDensityFromCallables:
     """Build an :class:`ExactDensity` from a sampler and a log-density.
+    ``support`` (optional) is the support spec for automatic bijector
+    selection — a string/tuple or a callable of the distribution args.
 
     Parity: reference ``distribution.py:436-476``."""
-    return ExactDensityFromCallables(sample, logpdf, name)
+    return ExactDensityFromCallables(sample, logpdf, name, support)

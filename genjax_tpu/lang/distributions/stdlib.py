@@ -107,7 +107,8 @@ def _half_student_t_logpdf(v, df, loc, scale):
 
 #: HalfStudentT(df, loc, scale).
 half_student_t = exact_density(
-    _half_student_t_sample, _half_student_t_logpdf, "half_student_t"
+    _half_student_t_sample, _half_student_t_logpdf, "half_student_t",
+    support="positive",
 )
 
 
@@ -122,6 +123,7 @@ half_cauchy = exact_density(
     + scale * jnp.abs(jr.cauchy(key, _bshape(loc, scale))),
     _half_cauchy_logpdf,
     "half_cauchy",
+    support="positive",
 )
 
 
@@ -135,6 +137,7 @@ half_normal = exact_density(
     lambda key, scale: scale * jnp.abs(jr.normal(key, jnp.shape(scale))),
     _half_normal_logpdf,
     "half_normal",
+    support="positive",
 )
 
 #: LogNormal(loc, scale) — exp of Normal(loc, scale).
@@ -143,6 +146,7 @@ log_normal = exact_density(
     lambda v, loc, scale: jss.norm.logpdf(jnp.log(v), loc, scale)
     - jnp.log(v),
     "log_normal",
+    support="positive",
 )
 
 #: LogitNormal(loc, scale) — sigmoid of Normal(loc, scale).
@@ -151,6 +155,7 @@ logit_normal = exact_density(
     lambda v, loc, scale: jss.norm.logpdf(jsp.logit(v), loc, scale)
     - jnp.log(v) - jnp.log1p(-v),
     "logit_normal",
+    support="unit_interval",
 )
 
 #: Uniform(low, high).
@@ -160,6 +165,7 @@ uniform = exact_density(
     ),
     lambda v, low=0.0, high=1.0: jss.uniform.logpdf(v, low, high - low),
     "uniform",
+    support=lambda low=0.0, high=1.0: (low, high),
 )
 
 #: Exponential(rate).
@@ -167,6 +173,7 @@ exponential = exact_density(
     lambda key, rate: jr.exponential(key, jnp.shape(rate)) / rate,
     lambda v, rate: jss.expon.logpdf(v, scale=1.0 / rate),
     "exponential",
+    support="positive",
 )
 
 #: Beta(concentration1, concentration0).
@@ -174,6 +181,7 @@ beta = exact_density(
     lambda key, c1, c0: jr.beta(key, c1, c0, _bshape(c1, c0)),
     jss.beta.logpdf,
     "beta",
+    support="unit_interval",
 )
 
 #: Gamma(concentration, rate) — TFP rate convention.
@@ -181,6 +189,7 @@ gamma = exact_density(
     lambda key, conc, rate: jr.gamma(key, conc, _bshape(conc, rate)) / rate,
     lambda v, conc, rate: jss.gamma.logpdf(v, conc, scale=1.0 / rate),
     "gamma",
+    support="positive",
 )
 
 
@@ -194,6 +203,7 @@ inverse_gamma = exact_density(
     lambda key, conc, scale: scale / jr.gamma(key, conc, _bshape(conc, scale)),
     _inverse_gamma_logpdf,
     "inverse_gamma",
+    support="positive",
 )
 
 
@@ -231,6 +241,7 @@ chi2 = exact_density(
     lambda key, df: jr.chisquare(key, df, jnp.shape(df)),
     jss.chi2.logpdf,
     "chi2",
+    support="positive",
 )
 
 
@@ -244,6 +255,7 @@ chi = exact_density(
     lambda key, df: jnp.sqrt(jr.chisquare(key, df, jnp.shape(df))),
     _chi_logpdf,
     "chi",
+    support="positive",
 )
 
 
@@ -259,6 +271,7 @@ weibull = exact_density(
     * jr.weibull_min(key, 1.0, conc, _bshape(conc, scale)),
     _weibull_logpdf,
     "weibull",
+    support="positive",
 )
 
 
@@ -274,6 +287,7 @@ kumaraswamy = exact_density(
     ) ** (1.0 / a),
     _kumaraswamy_logpdf,
     "kumaraswamy",
+    support="unit_interval",
 )
 
 
@@ -324,7 +338,8 @@ def _truncnorm_logpdf(v, loc, scale, low, high):
 
 #: TruncatedNormal(loc, scale, low, high).
 truncated_normal = exact_density(
-    _truncnorm_sample, _truncnorm_logpdf, "truncated_normal"
+    _truncnorm_sample, _truncnorm_logpdf, "truncated_normal",
+    support=lambda loc, scale, low, high: (low, high),
 )
 
 
@@ -349,7 +364,8 @@ def _trunc_cauchy_logpdf(v, loc, scale, low, high):
 
 #: TruncatedCauchy(loc, scale, low, high) — inverse-CDF sampling.
 truncated_cauchy = exact_density(
-    _trunc_cauchy_sample, _trunc_cauchy_logpdf, "truncated_cauchy"
+    _trunc_cauchy_sample, _trunc_cauchy_logpdf, "truncated_cauchy",
+    support=lambda loc, scale, low, high: (low, high),
 )
 
 
@@ -374,7 +390,8 @@ def _inverse_gaussian_logpdf(v, loc, conc):
 
 #: InverseGaussian(loc, concentration) — TFP convention.
 inverse_gaussian = exact_density(
-    _inverse_gaussian_sample, _inverse_gaussian_logpdf, "inverse_gaussian"
+    _inverse_gaussian_sample, _inverse_gaussian_logpdf, "inverse_gaussian",
+    support="positive",
 )
 
 
@@ -647,6 +664,7 @@ dirichlet = exact_density(
     lambda key, conc: jr.dirichlet(key, conc),
     jss.dirichlet.logpdf,
     "dirichlet",
+    support="simplex",
 )
 
 
@@ -742,7 +760,8 @@ def _beta_quotient_logpdf(t, a1, b1, a2, b2):
 
 #: BetaQuotient(a1, b1, a2, b2) — ratio of independent Betas.
 beta_quotient = exact_density(
-    _beta_quotient_sample, _beta_quotient_logpdf, "beta_quotient"
+    _beta_quotient_sample, _beta_quotient_logpdf, "beta_quotient",
+    support="positive",
 )
 
 

@@ -153,6 +153,123 @@ class TestSupportTransforms:
         assert abs(slopes.mean() - 1.2) < 0.1
         assert bool(np.isfinite(sigmas).all())
 
+    def test_infer_transforms_from_support_metadata(self):
+        """Support metadata on stdlib distributions drives automatic
+        bijector selection, through nested @gen addresses."""
+        from genjax_tpu.inference.transforms import infer_transforms
+
+        @g.gen
+        def inner():
+            _ = g.beta(2.0, 2.0) @ "p"
+            _ = g.normal(0.0, 1.0) @ "loc"
+
+        @g.gen
+        def model():
+            _ = g.gamma(2.0, 1.0) @ "rate"
+            _ = g.uniform(-2.0, 3.0) @ "u"
+            _ = g.poisson(4.0) @ "n"          # discrete: skipped
+            _ = inner() @ "sub"
+
+        tr = model.simulate(KEY, ())
+        t = infer_transforms(tr)
+        assert t["rate"] == "positive"
+        assert t["u"] == (-2.0, 3.0)
+        assert t[("sub", "p")] == (0.0, 1.0)
+        assert "n" not in t and ("sub", "loc") not in t
+
+        # exclusion hook (observed sites)
+        t2 = infer_transforms(tr, exclude=lambda a: a == "rate")
+        assert "rate" not in t2 and "u" in t2
+
+    def test_nested_address_transform_roundtrip(self):
+        from genjax_tpu.inference.transforms import (
+            constrain_choices,
+            unconstrain_choices,
+        )
+
+        chm = g.C["sub", "p"].set(0.25) | g.C["x"].set(1.0)
+        t = {("sub", "p"): (0.0, 1.0)}
+        u = unconstrain_choices(chm, t)
+        back, fldj = constrain_choices(u, t)
+        assert abs(float(back["sub", "p"]) - 0.25) < 1e-6
+        assert float(back["x"]) == 1.0
+        assert bool(jnp.isfinite(fldj))
+
+    def test_auto_transforms_end_to_end(self):
+        """``transforms="auto"`` matches the manual positive-sigma run."""
+        xs = jnp.linspace(-1.0, 1.0, 25)
+        ys = 1.2 * xs + 0.1
+
+        @g.gen
+        def model(xs):
+            slope = g.normal(0.0, 2.0) @ "slope"
+            sigma = g.half_normal(1.0) @ "sigma"
+            _ = g.mv_normal_diag(
+                slope * xs, sigma * jnp.ones_like(xs)
+            ) @ "ys"
+
+        target = Target(model, (xs,), g.C["ys"].set(ys))
+        chms, _ = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=2, num_warmup=250, num_samples=300,
+                max_depth=6, transforms="auto",
+            )
+        )(KEY)
+        sigmas = np.asarray(chms["sigma"])
+        assert np.all(sigmas > 0.0)
+        assert abs(np.asarray(chms["slope"]).mean() - 1.2) < 0.1
+
+    def test_simplex_bijector_roundtrip_and_jacobian(self):
+        from genjax_tpu.inference.transforms import simplex
+
+        u = jnp.array([0.3, -0.7, 1.1])
+        x = simplex.forward(u)
+        assert x.shape == (4,)
+        assert abs(float(x.sum()) - 1.0) < 1e-6
+        assert np.all(np.asarray(x) > 0)
+        u_back = simplex.inverse(x)
+        assert np.allclose(np.asarray(u_back), np.asarray(u), atol=1e-5)
+        # fldj vs autodiff of the free (first K-1) coordinates
+        J = jax.jacfwd(lambda u: simplex.forward(u)[:-1])(u)
+        want = float(jnp.linalg.slogdet(J)[1])
+        assert abs(float(simplex.fldj(u)) - want) < 1e-5
+        # u = 0 maps to the uniform simplex (Stan offset convention)
+        assert np.allclose(
+            np.asarray(simplex.forward(jnp.zeros(3))), 0.25, atol=1e-6
+        )
+
+    def test_nuts_dirichlet_conjugate(self):
+        """NUTS over a simplex latent via auto stick-breaking: the
+        Dirichlet-categorical posterior mean is (alpha+counts)/sum."""
+        alpha = jnp.array([1.0, 2.0, 3.0])
+        counts = jnp.array([10.0, 5.0, 5.0])
+
+        # Encode the categorical likelihood exactly with an exact_density
+        # observation whose logpdf is the multinomial term.
+        lik = g.exact_density(
+            lambda key, p: p,
+            lambda v, p: jnp.sum(counts * jnp.log(p)),
+            "counts_lik",
+        )
+
+        @g.gen
+        def model2():
+            p = g.dirichlet(alpha) @ "p"
+            _ = lik(p) @ "obs"
+
+        target = Target(model2, (), g.C["obs"].set(jnp.zeros(3)))
+        chms, _ = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=2, num_warmup=300, num_samples=400,
+                max_depth=6, transforms="auto",
+            )
+        )(KEY)
+        ps = np.asarray(chms["p"])          # (chains, samples, 3)
+        assert np.allclose(ps.sum(axis=-1), 1.0, atol=1e-5)
+        post = (np.asarray(alpha) + np.asarray(counts))
+        post = post / post.sum()
+        assert np.max(np.abs(ps.mean(axis=(0, 1)) - post)) < 0.03
+
     def test_interval_transform_roundtrip(self):
         from genjax_tpu.inference.transforms import (
             constrain_choices,
