@@ -511,6 +511,58 @@ class Filtered(ChoiceMap):
         return sub.filter(subsel)
 
 
+def lanes_leading(chm: ChoiceMap, batch_ndim: int) -> ChoiceMap:
+    """Rearrange a choice map that was returned THROUGH ``jax.vmap``
+    (``batch_ndim`` stacked leading axes on every leaf) so that
+    :class:`Indexed` lane axes come before the batch axes again.
+
+    ``vmap`` prepends batch dims to all leaves, which breaks ``Indexed``
+    lane lookup (``idx=None`` derives the lane count from axis 0 — now a
+    batch axis, silently aliasing lanes with batch entries). After this
+    rearrangement, a leaf under ``d`` nested Indexed nodes has layout
+    ``(lane_1, …, lane_d, B_1, …, B_k, event…)`` and address indexing
+    works as usual, with batch dims trailing on the returned values.
+
+    Leaves with fewer than ``batch_ndim + depth`` dims (broadcast leaves)
+    are left untouched. No reference counterpart (the reference stores
+    explicit idx leaves, trading this problem for gather-composition
+    corruption — see the Indexed docstring)."""
+
+    def fix_leaf(x, depth):
+        if jnp.ndim(x) < batch_ndim + depth:
+            return x
+        return jnp.moveaxis(
+            x, tuple(range(batch_ndim)),
+            tuple(range(depth, depth + batch_ndim)),
+        )
+
+    def walk(node, depth):
+        if isinstance(node, Empty):
+            return node
+        if isinstance(node, Choice):
+            return Choice(
+                jtu.tree_map(lambda x: fix_leaf(x, depth), node.v)
+            )
+        if isinstance(node, Static):
+            return Static(
+                tuple(walk(s, depth) for s in node.submaps), node.keys
+            )
+        if isinstance(node, Or):
+            return Or(walk(node.left, depth), walk(node.right, depth))
+        if isinstance(node, Indexed):
+            if node.idx is not None:
+                raise NotImplementedError(
+                    "lanes_leading: explicit-idx Indexed nodes under vmap "
+                    "are not supported; canonical idx=None only."
+                )
+            return Indexed(walk(node.inner, depth + 1), None)
+        raise NotImplementedError(
+            f"lanes_leading through {type(node).__name__} nodes."
+        )
+
+    return walk(chm, 0)
+
+
 @Pytree.dataclass
 class ChmSel(Selection):
     """The selection of all addresses present in a choice map.

@@ -141,7 +141,9 @@ def run_nuts(
 ):
     """End-to-end NUTS on a :class:`Target`: initialize chains from the
     prior, warm up (cross-chain adaptation), sample. Returns
-    ``(choices_chm_stacked, infos)`` with leading axes (chains, samples).
+    ``(choices_chm_stacked, infos)`` with leading axes (chains, samples)
+    on flat sites; for sites under Scan/Vmap combinators the step/lane
+    index comes first (``chms["chain", t, "x"]`` → (chains, samples)).
 
     With ``mesh``, the chain axis is pinned to ``mesh[axis_name]`` — the
     warmup's cross-chain accept/variance reductions become mesh
@@ -161,6 +163,8 @@ def run_nuts(
     k_init, k_warm, k_sample = jax.random.split(key, 3)
 
     from genjax_tpu.inference.transforms import (
+        _addr_path,
+        _map_at,
         constrain_choices,
         infer_transforms,
         unconstrain_choices,
@@ -168,9 +172,20 @@ def run_nuts(
 
     if transforms == "auto":
         probe_tr, _ = target.importance(jax.random.key(0), ChoiceMap.empty())
-        transforms = infer_transforms(
-            probe_tr, exclude=lambda addr: addr in target.constraint
+        probe_latents = target.filter_to_unconstrained(
+            probe_tr.get_choices()
         )
+
+        def _observed(addr):
+            # Exclude any address that does not survive in the latent
+            # choice map (i.e. observed sites) — tested with the same
+            # Indexed-transparent lookup constrain_choices uses.
+            _, found = _map_at(
+                probe_latents, _addr_path(addr), lambda v: v
+            )
+            return not found
+
+        transforms = infer_transforms(probe_tr, exclude=_observed)
     transforms = transforms or {}
 
     init_keys = jax.random.split(k_init, n_chains)
@@ -220,7 +235,14 @@ def run_nuts(
         chm_x, _ = constrain_choices(unravel(z), transforms)
         return chm_x
 
-    chms = jax.vmap(jax.vmap(to_constrained))(constrain(zs))
+    from genjax_tpu.gfi.choice_map import lanes_leading
+
+    # vmap stacked (chains, samples) axes in front of every leaf; put
+    # Indexed (Scan/Vmap site) lane axes back in front so address
+    # indexing works — batch dims trail on those values.
+    chms = lanes_leading(
+        jax.vmap(jax.vmap(to_constrained))(constrain(zs)), 2
+    )
     return chms, infos
 
 

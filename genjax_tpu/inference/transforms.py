@@ -13,8 +13,14 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from genjax_tpu.gfi.choice_map import ChoiceMap
-from genjax_tpu.gfi.selection import Selection
+from genjax_tpu.gfi.choice_map import (
+    Choice,
+    ChoiceMap,
+    Empty,
+    Indexed,
+    Or,
+    Static,
+)
 
 __all__ = ["Bijector", "identity", "positive", "interval", "simplex",
            "get_bijector", "constrain_choices", "unconstrain_choices",
@@ -125,35 +131,84 @@ def _addr_path(addr) -> tuple:
     return addr if isinstance(addr, tuple) else (addr,)
 
 
-def constrain_choices(chm_u: ChoiceMap, transforms: dict):
-    """Map the addresses listed in ``transforms`` (flat or nested tuple
-    paths) from unconstrained to constrained values; returns
-    ``(chm_x, sum_fldj)``."""
+def _map_at(chm: ChoiceMap, path: tuple, fn: Callable):
+    """Structurally replace the leaf at ``path`` with ``fn(value)``,
+    returning ``(new_chm, found)``. :class:`Indexed` nodes (Scan/Vmap
+    choices) are transparent — the integer layer is not named in
+    ``path``, and ``fn`` sees the whole stacked leaf (bijectors apply
+    elementwise; their ``fldj`` sums over all dims, which is exactly the
+    total change-of-variables term for independent lanes/steps).
+
+    In-place leaf surgery (rather than an overlay merge) keeps the
+    choice-map structure identical, so shape-changing bijectors
+    (simplex: K-1 ↔ K) never leave stale leaves behind."""
+    if isinstance(chm, Indexed):
+        new_inner, found = _map_at(chm.inner, path, fn)
+        return (Indexed(new_inner, chm.idx) if found else chm), found
+    if not path:
+        if isinstance(chm, Choice):
+            return Choice(fn(chm.v)), True
+        return chm, False
+    if isinstance(chm, Static):
+        comp, rest = path[0], path[1:]
+        for i, (k, sub) in enumerate(zip(chm.keys, chm.submaps)):
+            if k == comp:
+                new_sub, found = _map_at(sub, rest, fn)
+                if not found:
+                    return chm, False
+                submaps = (
+                    chm.submaps[:i] + (new_sub,) + chm.submaps[i + 1:]
+                )
+                return Static(submaps, chm.keys), True
+        return chm, False
+    if isinstance(chm, Or):
+        new_left, found = _map_at(chm.left, path, fn)
+        if found:
+            return Or(new_left, chm.right), True
+        new_right, found = _map_at(chm.right, path, fn)
+        return (Or(chm.left, new_right) if found else chm), found
+    if isinstance(chm, (Empty, Choice)):
+        return chm, False
+    raise NotImplementedError(
+        f"Support transforms through {type(chm).__name__} nodes are not "
+        "supported (Switch/Filtered subtrees: ROADMAP)."
+    )
+
+
+def _apply_transforms(chm: ChoiceMap, transforms: dict,
+                      direction: str):
     fldj = jnp.zeros(())
-    out = chm_u
+    out = chm
     for addr, spec in transforms.items():
         bij = get_bijector(spec)
-        u = chm_u[addr]
-        x = bij.forward(u)
-        fldj = fldj + bij.fldj(u)
-        # Drop the old leaf before inserting: shape-changing bijectors
-        # (simplex: K-1 -> K) would otherwise leave a stale, differently-
-        # shaped leaf shadowed under the Or node.
-        out = ChoiceMap.entry(x, *_addr_path(addr)) | out.filter(
-            ~Selection.at[_addr_path(addr)]
-        )
+        box = []
+
+        def fn(v, bij=bij, box=box):
+            if direction == "forward":
+                box.append(bij.fldj(v))
+                return bij.forward(v)
+            return bij.inverse(v)
+
+        out, found = _map_at(out, _addr_path(addr), fn)
+        if not found:
+            raise KeyError(
+                f"Transform address {addr!r} not present in choice map."
+            )
+        if box:
+            fldj = fldj + box[0]
     return out, fldj
+
+
+def constrain_choices(chm_u: ChoiceMap, transforms: dict):
+    """Map the addresses listed in ``transforms`` (flat, nested tuple
+    paths, or paths through Scan/Vmap ``Indexed`` layers) from
+    unconstrained to constrained values; returns ``(chm_x, sum_fldj)``."""
+    return _apply_transforms(chm_u, transforms, "forward")
 
 
 def unconstrain_choices(chm_x: ChoiceMap, transforms: dict) -> ChoiceMap:
     """Inverse of :func:`constrain_choices` (no Jacobian)."""
-    out = chm_x
-    for addr, spec in transforms.items():
-        bij = get_bijector(spec)
-        x = chm_x[addr]
-        out = ChoiceMap.entry(bij.inverse(x), *_addr_path(addr)) | out.filter(
-            ~Selection.at[_addr_path(addr)]
-        )
+    out, _ = _apply_transforms(chm_x, transforms, "inverse")
     return out
 
 
@@ -167,6 +222,8 @@ def infer_transforms(trace, *, exclude=None) -> dict:
     untransformed; ``"simplex"`` maps to the stick-breaking bijector.
     New scope vs the reference (its HMC had no support handling at
     all)."""
+    from genjax_tpu.lang.combinators.scan import ScanTrace
+    from genjax_tpu.lang.combinators.vmap import VmapTrace
     from genjax_tpu.lang.distributions.distribution import DistributionTrace
     from genjax_tpu.lang.static import StaticTrace
 
@@ -176,6 +233,11 @@ def infer_transforms(trace, *, exclude=None) -> dict:
         if isinstance(tr, StaticTrace):
             for addr, sub in zip(tr.addresses, tr.subtraces):
                 walk(sub, path + (addr,))
+        elif isinstance(tr, (ScanTrace, VmapTrace)):
+            # The integer (step/lane) layer is transparent in transform
+            # paths — ``_map_at`` descends through the Indexed node and
+            # the bijector applies elementwise over the stacked leaf.
+            walk(tr.inner, path)
         elif isinstance(tr, DistributionTrace):
             v = tr.get_retval()
             if not jnp.issubdtype(jnp.result_type(v), jnp.floating):
@@ -189,9 +251,8 @@ def infer_transforms(trace, *, exclude=None) -> dict:
             if exclude is not None and exclude(addr):
                 return
             out[addr] = spec
-        # Other trace types (Vmap/Scan/Switch) are skipped: per-lane /
-        # per-step transforms need Indexed-aware bijector application
-        # (ROADMAP).
+        # Switch subtraces are skipped (branch-dependent supports:
+        # ROADMAP).
 
     walk(trace, ())
     return out

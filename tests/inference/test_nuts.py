@@ -270,6 +270,79 @@ class TestSupportTransforms:
         post = post / post.sum()
         assert np.max(np.abs(ps.mean(axis=(0, 1)) - post)) < 0.03
 
+    def test_scan_site_transforms(self):
+        """Transforms reach sites inside Scan (Indexed layers are
+        transparent): per-step positive latents stay positive and the
+        fldj covers every step."""
+        from genjax_tpu.inference.transforms import (
+            constrain_choices,
+            infer_transforms,
+            positive,
+            unconstrain_choices,
+        )
+
+        T = 5
+
+        @g.gen
+        def step(carry, _):
+            s = g.half_normal(1.0) @ "s"
+            y = g.normal(carry, s) @ "y"
+            return carry, None
+
+        @g.gen
+        def model():
+            _ = step.scan(n=T)(0.0, None) @ "chain"
+
+        tr = model.simulate(KEY, ())
+        t = infer_transforms(tr)
+        assert t == {("chain", "s"): "positive"}
+
+        latents = tr.get_choices().filter(~g.S.at["chain", "y"])
+        u = unconstrain_choices(latents, t)
+        back, fldj = constrain_choices(u, t)
+        s_back = np.asarray(back["chain", 2, "s"])
+        s_orig = np.asarray(latents["chain", 2, "s"])
+        assert np.allclose(s_back, s_orig, atol=1e-5)
+        # fldj sums per-step contributions
+        u_all = np.asarray([float(u["chain", i, "s"]) for i in range(T)])
+        want = sum(float(positive.fldj(jnp.asarray(ui))) for ui in u_all)
+        assert abs(float(fldj) - want) < 1e-4
+
+    def test_nuts_auto_transforms_scan_model(self):
+        """End-to-end NUTS with auto transforms on a model whose
+        positive-scale latent sits inside a Scan."""
+        T = 4
+        obs = jnp.array([1.0, 1.2, 0.8, 1.1])
+
+        @g.gen
+        def step(carry, _):
+            s = g.half_normal(1.0) @ "s"
+            y = g.normal(0.0, s + 0.1) @ "y"
+            return carry, None
+
+        @g.gen
+        def model():
+            _ = step.scan(n=T)(0.0, None) @ "chain"
+
+        obs_chm = g.ChoiceMap.empty()
+        for t_i in range(T):
+            obs_chm = obs_chm | g.C["chain", t_i, "y"].set(obs[t_i])
+
+        target = Target(model, (), obs_chm)
+        chms, _ = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=2, num_warmup=200, num_samples=200,
+                max_depth=6, transforms="auto",
+            )
+        )(KEY)
+        # Every step readable (catches lane/batch axis aliasing): shape
+        # must be (chains, samples) for each of the T step indices.
+        for t_i in range(T):
+            ss = np.asarray(chms["chain", t_i, "s"])
+            assert ss.shape == (2, 200), ss.shape
+            assert np.all(ss > 0.0)
+            assert bool(np.isfinite(ss).all())
+
     def test_interval_transform_roundtrip(self):
         from genjax_tpu.inference.transforms import (
             constrain_choices,
