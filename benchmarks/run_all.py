@@ -206,18 +206,57 @@ CONFIGS = {
 
 
 def main():
+    import pathlib
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument(
+        "--save-baseline", metavar="FILE", default=None,
+        help="write {metric: value} to FILE (run this on host CPU: "
+        "JAX_PLATFORMS=cpu python benchmarks/run_all.py "
+        "--save-baseline benchmarks/baseline_cpu.json)",
+    )
+    ap.add_argument(
+        "--baseline", metavar="FILE",
+        default=str(pathlib.Path(__file__).parent / "baseline_cpu.json"),
+        help="baseline JSON for vs_baseline ratios (default: "
+        "benchmarks/baseline_cpu.json if present)",
+    )
     args = ap.parse_args()
+    baseline = {}
+    if not args.save_baseline:
+        try:
+            with open(args.baseline) as f:
+                baseline = json.load(f)
+        except OSError:
+            pass
     targets = [args.config] if args.config else sorted(CONFIGS)
+    results = []
     for c in targets:
-        print(json.dumps(CONFIGS[c](args.small)))
+        r = CONFIGS[c](args.small)
+        base = baseline.get(r["metric"])
+        if base:
+            r["vs_baseline"] = round(r["value"] / base, 3)
+        results.append(r)
+        print(json.dumps(r))
+    if args.save_baseline:
+        with open(args.save_baseline, "w") as f:
+            json.dump({r["metric"]: r["value"] for r in results}, f,
+                      indent=1)
 
 
 if __name__ == "__main__":
+    import os
     import sys
     import pathlib
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # in-process (see CLAUDE.md) so `JAX_PLATFORMS=cpu ... --save-baseline`
+    # really runs on host CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    print(f"# platform: {jax.default_backend()}", file=sys.stderr)
 
     sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
     main()
