@@ -204,3 +204,46 @@ class TestInvalidSubset:
 
         ok = g.C["x"].set(1.0) | g.C["y"].set(0.5)
         assert ok.invalid_subset(model, ()) is None
+
+
+class TestLanesLeading:
+    def test_vmapped_scan_choices_lane_lookup(self):
+        """A choice map returned through vmap has batch axes in front of
+        the Indexed lane axis; ``lanes_leading`` restores lane-first
+        layout so integer address lookup picks steps, not batch lanes."""
+        import jax
+        import jax.numpy as jnp
+
+        import genjax_tpu as g
+        from genjax_tpu.gfi.choice_map import lanes_leading
+
+        T, B = 5, 3
+
+        @g.gen
+        def step(carry, _):
+            x = g.normal(carry, 1.0) @ "x"
+            return x, None
+
+        @g.gen
+        def model(shift):
+            _ = step.scan(n=T)(shift, None) @ "chain"
+            _ = g.normal(shift, 1.0) @ "flat"
+
+        def choices(seed):
+            tr = model.simulate(jax.random.key(0), (seed,))
+            return tr.get_choices()
+
+        batched = jax.vmap(choices)(jnp.arange(float(B)))
+        fixed = lanes_leading(batched, 1)
+
+        single = choices(jnp.asarray(2.0))
+        for t in range(T):
+            lane = jnp.asarray(fixed["chain", t, "x"])
+            assert lane.shape == (B,), lane.shape
+            # batch entry 2 of step t must equal the unbatched run's step t
+            assert jnp.allclose(lane[2], single["chain", t, "x"])
+        # flat (non-Indexed) sites keep the leading batch axis
+        assert jnp.shape(fixed["flat"]) == (B,)
+        assert jnp.allclose(
+            jnp.asarray(fixed["flat"])[2], single["flat"]
+        )
