@@ -222,6 +222,7 @@ def infer_transforms(trace, *, exclude=None) -> dict:
     untransformed; ``"simplex"`` maps to the stick-breaking bijector.
     New scope vs the reference (its HMC had no support handling at
     all)."""
+    from genjax_tpu.lang.combinators.dimap import DimapTrace
     from genjax_tpu.lang.combinators.scan import ScanTrace
     from genjax_tpu.lang.combinators.vmap import VmapTrace
     from genjax_tpu.lang.distributions.distribution import DistributionTrace
@@ -237,6 +238,9 @@ def infer_transforms(trace, *, exclude=None) -> dict:
             # The integer (step/lane) layer is transparent in transform
             # paths — ``_map_at`` descends through the Indexed node and
             # the bijector applies elementwise over the stacked leaf.
+            walk(tr.inner, path)
+        elif isinstance(tr, DimapTrace):
+            # Dimap preserves the inner choice structure.
             walk(tr.inner, path)
         elif isinstance(tr, DistributionTrace):
             v = tr.get_retval()

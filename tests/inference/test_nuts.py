@@ -270,6 +270,23 @@ class TestSupportTransforms:
         post = post / post.sum()
         assert np.max(np.abs(ps.mean(axis=(0, 1)) - post)) < 0.03
 
+    def test_dimap_site_transforms(self):
+        """Dimap wrappers are transparent to support inference."""
+        from genjax_tpu.inference.transforms import infer_transforms
+
+        @g.gen
+        def inner(rate2):
+            _ = g.gamma(2.0, rate2 / 2.0) @ "lam"
+
+        wrapped = inner.contramap(lambda r: (2.0 * r,))
+
+        @g.gen
+        def model():
+            _ = wrapped(1.0) @ "sub"
+
+        tr = model.simulate(KEY, ())
+        assert infer_transforms(tr) == {("sub", "lam"): "positive"}
+
     def test_scan_site_transforms(self):
         """Transforms reach sites inside Scan (Indexed layers are
         transparent): per-step positive latents stay positive and the
