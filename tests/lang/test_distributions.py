@@ -216,3 +216,52 @@ def test_distribution_masked_constraint():
     c_f = g.ChoiceMap.choice(g.Mask(1.0, jnp.asarray(False)))
     tr_f, w_f = g.normal.generate(KEY, c_f, (0.0, 1.0))
     assert jnp.allclose(w_f, 0.0)
+
+
+class TestSupportMetadata:
+    """Declared support specs must be honest: samples always land inside
+    (a wrong annotation would silently corrupt transforms="auto")."""
+
+    CASES = [
+        ("gamma", (2.0, 1.5)),
+        ("exponential", (0.7,)),
+        ("beta", (2.0, 3.0)),
+        ("chi", (3.0,)),
+        ("chi2", (3.0,)),
+        ("weibull", (1.5, 2.0)),
+        ("inverse_gamma", (2.0, 1.0)),
+        ("inverse_gaussian", (1.0, 2.0)),
+        ("log_normal", (0.0, 1.0)),
+        ("logit_normal", (0.0, 1.0)),
+        ("half_cauchy", (0.0, 1.0)),
+        ("half_normal", (1.0,)),
+        ("half_student_t", (3.0, 0.0, 1.0)),
+        ("kumaraswamy", (2.0, 2.0)),
+        ("beta_quotient", (2.0, 2.0, 2.0, 2.0)),
+        ("uniform", (-1.5, 2.5)),
+        ("truncated_normal", (0.0, 1.0, -0.5, 1.5)),
+        ("truncated_cauchy", (0.0, 1.0, -0.5, 1.5)),
+        ("dirichlet", (jnp.array([1.0, 2.0, 3.0]),)),
+    ]
+
+    def test_samples_inside_declared_support(self):
+        import genjax_tpu as g
+
+        for name, args in self.CASES:
+            dist = getattr(g, name)
+            spec = dist.get_support(*args)
+            assert spec is not None, name
+            vs = jax.vmap(lambda k: dist.sample(k, *args))(
+                jax.random.split(KEY, 200)
+            )
+            vs = jnp.asarray(vs)
+            if spec == "positive":
+                assert jnp.all(vs > 0.0), name
+            elif spec == "unit_interval":
+                assert jnp.all((vs > 0.0) & (vs < 1.0)), name
+            elif spec == "simplex":
+                assert jnp.allclose(vs.sum(-1), 1.0, atol=1e-5), name
+                assert jnp.all(vs >= 0.0), name
+            else:
+                low, high = spec
+                assert jnp.all((vs >= low) & (vs <= high)), name
