@@ -145,6 +145,65 @@ class BatchedTailCallPrimitive(ADEVPrimitive):
         return kdual(key, Dual.dual_tree(p_out, t_out))
 
 
+@Pytree.dataclass
+class BatchedREINFORCE(ADEVPrimitive):
+    """A score-function (REINFORCE-style) primitive lifted over a batch
+    axis. Lanes are sampled independently; the continuation is invoked
+    ONCE on the stacked values, and the gradient adds the standard
+    multi-sample score-function term ``loss · Σ_i ∂logp_i`` — unbiased
+    because ``E[L · ∂logp_i] = ∂_i E[L]`` for each lane (no per-lane
+    continuation re-execution, which CPS batching cannot express).
+    Higher variance than per-lane baselines; wrap with ``baseline`` at
+    the call site if needed. New scope vs the reference (its ADEV layer
+    has no vmap batching rule at all)."""
+
+    original: ADEVPrimitive
+    lane_keys: Any
+    dims: tuple = Pytree.static()
+    n: int = Pytree.static(default=0)
+
+    def _keys(self, fallback_key):
+        if self.dims[0] is not None:
+            return self.lane_keys, 0
+        return jax.random.split(fallback_key, self.n), 0
+
+    def sample(self, _key, *args):
+        keys, kax = self._keys(self.lane_keys if self.dims[0] is None
+                               else _key)
+        return jax.vmap(
+            self.original.sample, in_axes=(kax, *self.dims[1:])
+        )(keys, *args)
+
+    def jvp_estimate(self, key, dual_args, konts):
+        _, kdual = konts
+        key, sub_key = jax.random.split(key)
+        keys, kax = self._keys(sub_key)
+        primals = [Dual.tree_primal(d) for d in dual_args]
+        tangents = [Dual.tree_tangent(d) for d in dual_args]
+        arg_dims = list(self.dims[1:])
+        vs = jax.vmap(
+            self.original.sample, in_axes=(kax, *arg_dims)
+        )(keys, *primals)
+        out_dual = kdual(key, Dual.tree_pure(vs))
+        (out_primal,), (out_tangent,) = Dual.tree_unzip(out_dual)
+
+        def lane_lp_tangent(v, primals, tangents):
+            return jax.jvp(
+                lambda *params: self.original.differentiable_logpdf(
+                    v, *params
+                ),
+                tuple(primals),
+                tuple(tangents),
+            )[1]
+
+        lp_tangents = jax.vmap(
+            lane_lp_tangent, in_axes=(0, arg_dims, arg_dims)
+        )(vs, primals, tangents)
+        return Dual(
+            out_primal, out_tangent + out_primal * jnp.sum(lp_tangents)
+        )
+
+
 def _sample_batch_rule(vector_args, batch_axes, **params):
     """Batching (vmap) of a sample site. The generic initial-style rule
     would inline the sampler and silently DROP the gradient strategy
@@ -172,7 +231,19 @@ def _sample_batch_rule(vector_args, batch_axes, **params):
         return leaves[0] if leaves else None
 
     dims = (leaf_axis(key_ax), *(leaf_axis(ax) for ax in arg_axes))
-    if not hasattr(adev_prim, "before_tail_call"):
+    # Batch length from the first batched operand.
+    n = 0
+    for leaf, ax in zip(flat, flat_axes):
+        if ax is not None:
+            n = jnp.shape(leaf)[ax]
+            break
+    if hasattr(adev_prim, "before_tail_call"):
+        batched: ADEVPrimitive = BatchedTailCallPrimitive(
+            adev_prim, bound_key, dims, n
+        )
+    elif hasattr(adev_prim, "differentiable_logpdf"):
+        batched = BatchedREINFORCE(adev_prim, bound_key, dims, n)
+    else:
         raise NotImplementedError(
             f"vmap over ADEV primitive {type(adev_prim).__name__} would "
             "silently drop its gradient strategy; use a *Parallel "
@@ -180,13 +251,6 @@ def _sample_batch_rule(vector_args, batch_axes, **params):
             "primitive, or restructure the program so the vmap is "
             "outside the expectation."
         )
-    # Batch length from the first batched operand.
-    n = 0
-    for leaf, ax in zip(flat, flat_axes):
-        if ax is not None:
-            n = jnp.shape(leaf)[ax]
-            break
-    batched = BatchedTailCallPrimitive(adev_prim, bound_key, dims, n)
     out = sample_primitive(batched, *args)
     return jtu.tree_leaves(out), [0 for _ in jtu.tree_leaves(out)]
 

@@ -212,18 +212,33 @@ class TestBatchedSites:
         # d/dmu E[mean(x_i^2)] = 2 mu = 3.0
         assert abs(float(gs.mean()) - 3.0) < 0.1
 
-    def test_vmap_reinforce_site_raises(self):
-        """Batching a score-function site must fail loudly (the generic
-        rule would silently drop the gradient strategy)."""
-        import pytest
+    def test_vmap_reinforce_site_unbiased(self):
+        """Batching a score-function site lifts to the multi-sample
+        REINFORCE estimator (loss times summed score tangents):
+        d/dp E[sum_i 1{b_i}] = n for n lanes."""
 
         @expectation
         def loss(p):
             bs = jax.vmap(lambda pp: flip_reinforce(pp))(p * jnp.ones(4))
             return jnp.sum(jnp.where(bs, 1.0, 0.0))
 
-        with pytest.raises(NotImplementedError):
-            loss.grad_estimate(KEY, (0.3,))
+        keys = jax.random.split(KEY, 6000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (0.3,))[0])(keys)
+        assert abs(float(gs.mean()) - 4.0) < 0.25
+
+    def test_vmap_normal_reinforce_matches_exact(self):
+        """Continuous score-function under vmap: d/dmu E[sum_i x_i] = n."""
+
+        @expectation
+        def loss(mu):
+            xs = jax.vmap(lambda m: normal_reinforce(m, 1.0))(
+                mu * jnp.ones(3)
+            )
+            return jnp.sum(xs)
+
+        keys = jax.random.split(KEY, 6000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(keys)
+        assert abs(float(gs.mean()) - 3.0) < 0.3
 
 
 class TestScanSites:
