@@ -145,63 +145,36 @@ class BatchedTailCallPrimitive(ADEVPrimitive):
         return kdual(key, Dual.dual_tree(p_out, t_out))
 
 
-@Pytree.dataclass
-class BatchedREINFORCE(ADEVPrimitive):
-    """A score-function (REINFORCE-style) primitive lifted over a batch
-    axis. Lanes are sampled independently; the continuation is invoked
-    ONCE on the stacked values, and the gradient adds the standard
-    multi-sample score-function term ``loss · Σ_i ∂logp_i`` — unbiased
-    because ``E[L · ∂logp_i] = ∂_i E[L]`` for each lane (no per-lane
-    continuation re-execution, which CPS batching cannot express).
+def _lift_reinforce(adev_prim, arg_dims, n):
+    """Lift a score-function (REINFORCE-style) primitive over a batch
+    axis by constructing ANOTHER instance of the same class whose
+    sampler draws all lanes and whose ``differentiable_logpdf`` sums the
+    per-lane log-densities. The inherited ``jvp_estimate`` then yields
+    the standard multi-sample score-function term
+    ``loss · Σ_i ∂logp_i`` — unbiased because ``E[L · ∂logp_i] =
+    ∂_i E[L]`` per lane. Because the lifted object is again a
+    REINFORCE, NESTED vmaps (e.g. a particle vmap around a lane vmap,
+    the common SMC-around-guide pattern) compose by re-lifting. Lane
+    keys are derived from the site key (the bound per-lane key array is
+    not threaded — only independence matters for the estimator).
     Higher variance than per-lane baselines; wrap with ``baseline`` at
     the call site if needed. New scope vs the reference (its ADEV layer
     has no vmap batching rule at all)."""
+    arg_dims = tuple(arg_dims)
 
-    original: ADEVPrimitive
-    lane_keys: Any
-    dims: tuple = Pytree.static()
-    n: int = Pytree.static(default=0)
-
-    def _keys(self, fallback_key):
-        if self.dims[0] is not None:
-            return self.lane_keys, 0
-        return jax.random.split(fallback_key, self.n), 0
-
-    def sample(self, _key, *args):
-        keys, kax = self._keys(self.lane_keys if self.dims[0] is None
-                               else _key)
+    def batched_sample(key, *args):
+        keys = jax.random.split(key, n)
         return jax.vmap(
-            self.original.sample, in_axes=(kax, *self.dims[1:])
+            adev_prim.sample, in_axes=(0, *arg_dims)
         )(keys, *args)
 
-    def jvp_estimate(self, key, dual_args, konts):
-        _, kdual = konts
-        key, sub_key = jax.random.split(key)
-        keys, kax = self._keys(sub_key)
-        primals = [Dual.tree_primal(d) for d in dual_args]
-        tangents = [Dual.tree_tangent(d) for d in dual_args]
-        arg_dims = list(self.dims[1:])
-        vs = jax.vmap(
-            self.original.sample, in_axes=(kax, *arg_dims)
-        )(keys, *primals)
-        out_dual = kdual(key, Dual.tree_pure(vs))
-        (out_primal,), (out_tangent,) = Dual.tree_unzip(out_dual)
+    def batched_logpdf(v, *args):
+        lps = jax.vmap(
+            adev_prim.differentiable_logpdf, in_axes=(0, *arg_dims)
+        )(v, *args)
+        return jnp.sum(lps)
 
-        def lane_lp_tangent(v, primals, tangents):
-            return jax.jvp(
-                lambda *params: self.original.differentiable_logpdf(
-                    v, *params
-                ),
-                tuple(primals),
-                tuple(tangents),
-            )[1]
-
-        lp_tangents = jax.vmap(
-            lane_lp_tangent, in_axes=(0, arg_dims, arg_dims)
-        )(vs, primals, tangents)
-        return Dual(
-            out_primal, out_tangent + out_primal * jnp.sum(lp_tangents)
-        )
+    return type(adev_prim)(batched_sample, batched_logpdf)
 
 
 def _sample_batch_rule(vector_args, batch_axes, **params):
@@ -242,7 +215,7 @@ def _sample_batch_rule(vector_args, batch_axes, **params):
             adev_prim, bound_key, dims, n
         )
     elif hasattr(adev_prim, "differentiable_logpdf"):
-        batched = BatchedREINFORCE(adev_prim, bound_key, dims, n)
+        batched = _lift_reinforce(adev_prim, dims[1:], n)
     else:
         raise NotImplementedError(
             f"vmap over ADEV primitive {type(adev_prim).__name__} would "

@@ -34,6 +34,7 @@ __all__ = [
     "QWake",
     "flip_enum",
     "flip_mvd",
+    "flip_reinforce",
     "categorical_enum",
     "normal_reinforce",
     "normal_reparam",
@@ -75,6 +76,11 @@ flip_enum = adev_distribution(
 )
 flip_mvd = adev_distribution(
     adev_prims.flip_mvd, _logpdf_of(stdlib.flip), "flip_mvd"
+)
+#: Score-function flip — unlike the enumeration variants this one also
+#: batches under ``.vmap()`` guides (BatchedREINFORCE lifting).
+flip_reinforce = adev_distribution(
+    adev_prims.flip_reinforce, _logpdf_of(stdlib.flip), "flip_reinforce"
 )
 categorical_enum = adev_distribution(
     adev_prims.categorical_enum_parallel,

@@ -137,6 +137,45 @@ class TestBetaImplicit:
         assert jnp.abs(gs.mean() - want) < 0.02
 
 
+class TestVmappedDiscreteGuide:
+    def test_vmapped_flip_reinforce_guide(self):
+        """A per-datapoint discrete guide (flip_reinforce under the Vmap
+        combinator) trains through the BatchedREINFORCE lifting: the
+        learned inclusion probs move toward the posterior pattern."""
+        y_obs = jnp.array([2.0, 2.0, -2.0])
+
+        @g.gen
+        def component(z):
+            _ = g.normal(jnp.where(z, 2.0, -2.0), 1.0) @ "y"
+
+        @g.gen
+        def model(_theta):
+            z = g.flip.vmap(in_axes=(0,))(jnp.full(3, 0.5)) @ "z"
+            _ = g.mv_normal_diag(
+                jnp.where(z, 2.0, -2.0), jnp.ones(3)
+            ) @ "y"
+
+        @marginal()
+        @g.gen
+        def guide(target):
+            (theta,) = target.args
+            _ = vi.flip_reinforce.vmap(in_axes=(0,))(
+                jax.nn.sigmoid(theta)
+            ) @ "z"
+
+        loss_grad = jax.jit(vi.ELBO(
+            guide, lambda th: Target(model, (th,), g.C["y"].set(y_obs))
+        ))
+        theta = jnp.zeros(3)
+        for i in range(600):
+            (dth,) = loss_grad(jax.random.fold_in(KEY, i), (theta,))
+            theta = theta - 0.05 * dth
+        probs = jax.nn.sigmoid(theta)
+        # Posterior: z_i=1 strongly favored where y=2, disfavored at -2.
+        assert probs[0] > 0.8 and probs[1] > 0.8, probs
+        assert probs[2] < 0.2, probs
+
+
 class TestGammaImplicit:
     def test_gamma_shape_gradient(self):
         """d/da E[x], x ~ Gamma(a, rate b), equals 1/b."""
