@@ -186,6 +186,11 @@ def run_nuts(
             return not found
 
         transforms = infer_transforms(probe_tr, exclude=_observed)
+    elif isinstance(transforms, str):
+        raise ValueError(
+            f"transforms={transforms!r}: expected a dict, None, or the "
+            'string "auto".'
+        )
     transforms = transforms or {}
 
     init_keys = jax.random.split(k_init, n_chains)
