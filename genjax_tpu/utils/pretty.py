@@ -49,7 +49,15 @@ def render_choice_map(chm, indent: int = 0) -> str:
         return "\n".join(lines)
     if isinstance(chm, Indexed):
         inner = render_choice_map(chm.inner, indent + 1)
-        return f"{pad}[idx {_abbrev(chm.idx)}]:\n{inner}"
+        if chm.idx is None:
+            # Canonical arange lanes (Scan/Vmap choices).
+            try:
+                label = f"[i = 0..{chm._n() - 1}]"
+            except Exception:
+                label = "[i = lanes]"
+        else:
+            label = f"[idx {_abbrev(chm.idx)}]"
+        return f"{pad}{label}:\n{inner}"
     if isinstance(chm, Switch):
         lines = [f"{pad}switch(idx={_abbrev(chm.idx)}):"]
         for i, b in enumerate(chm.branches):
