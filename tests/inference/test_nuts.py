@@ -102,8 +102,8 @@ class TestEndToEnd:
         def regression(xs):
             slope = g.normal(0.0, 2.0) @ "slope"
             icept = g.normal(0.0, 2.0) @ "icept"
-            # Unconstrained parameterization (NUTS runs in R^d; support
-            # transforms are future work, as in the reference).
+            # Manual unconstrained parameterization (the constrained
+            # route is covered by TestSupportTransforms).
             log_sigma = g.normal(-2.0, 0.5) @ "log_sigma"
             sigma = jnp.exp(log_sigma)
             _ = g.mv_normal_diag(
@@ -269,6 +269,35 @@ class TestSupportTransforms:
         post = (np.asarray(alpha) + np.asarray(counts))
         post = post / post.sum()
         assert np.max(np.abs(ps.mean(axis=(0, 1)) - post)) < 0.03
+
+    def test_auto_transforms_with_mesh_sharded_chains(self):
+        """transforms="auto" composes with mesh-sharded chains (the
+        chain axis rides the 8-device CPU mesh)."""
+        from genjax_tpu.parallel import particle_mesh
+
+        xs = jnp.linspace(-1.0, 1.0, 15)
+        ys = 0.8 * xs
+
+        @g.gen
+        def model(xs):
+            slope = g.normal(0.0, 2.0) @ "slope"
+            sigma = g.half_normal(1.0) @ "sigma"
+            _ = g.mv_normal_diag(
+                slope * xs, sigma * jnp.ones_like(xs)
+            ) @ "ys"
+
+        mesh = particle_mesh(axis_name="chains")
+        target = Target(model, (xs,), g.C["ys"].set(ys))
+        chms, _ = jax.jit(
+            lambda k: run_nuts(
+                target, k, n_chains=8, num_warmup=150, num_samples=100,
+                max_depth=5, mesh=mesh, transforms="auto",
+            )
+        )(KEY)
+        sigmas = np.asarray(chms["sigma"])
+        assert sigmas.shape == (8, 100)
+        assert np.all(sigmas > 0.0)
+        assert abs(np.asarray(chms["slope"]).mean() - 0.8) < 0.15
 
     def test_dimap_site_transforms(self):
         """Dimap wrappers are transparent to support inference."""
