@@ -369,12 +369,19 @@ class Indexed(ChoiceMap):
 
     inner: ChoiceMap
     idx: Any = None
+    n: Any = Pytree.static(default=None)
 
     def _n(self) -> int:
-        leaves = jtu.tree_leaves(self.inner)
-        if not leaves:
-            return 0
-        return jnp.shape(leaves[0])[0]
+        # Prefer the explicit static lane count (set by Vmap/Scan at
+        # trace build time) — inferring from leaf shapes breaks when the
+        # first leaf is a scalar/broadcast value, and silently mis-slices
+        # when an event axis coincidentally equals the lane count.
+        if self.n is not None:
+            return self.n
+        for leaf in jtu.tree_leaves(self.inner):
+            if jnp.ndim(leaf) >= 1:
+                return jnp.shape(leaf)[0]
+        return 0
 
     def _get_idx(self):
         if self.idx is None:
@@ -430,7 +437,7 @@ class Indexed(ChoiceMap):
         filtered = self.inner.filter(sub)
         if filtered.static_is_empty():
             return Empty()
-        return Indexed(filtered, self.idx)
+        return Indexed(filtered, self.idx, self.n)
 
 
 @Pytree.dataclass
@@ -555,7 +562,7 @@ def lanes_leading(chm: ChoiceMap, batch_ndim: int) -> ChoiceMap:
                     "lanes_leading: explicit-idx Indexed nodes under vmap "
                     "are not supported; canonical idx=None only."
                 )
-            return Indexed(walk(node.inner, depth + 1), None)
+            return Indexed(walk(node.inner, depth + 1), None, node.n)
         raise NotImplementedError(
             f"lanes_leading through {type(node).__name__} nodes."
         )

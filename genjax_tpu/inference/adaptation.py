@@ -117,6 +117,17 @@ def warmup_chains(
         var = welford_variance(wf)
         use_var = (i == (3 * num_warmup) // 4) & (wf.count > 10)
         inv_mass = jnp.where(use_var, jnp.maximum(var, 1e-6), inv_mass)
+        # Restart dual averaging under the new metric (Stan-style
+        # windowed adaptation): the step size tuned for the old metric
+        # is stale — reset the averages and re-anchor mu at the current
+        # log_eps so the remaining quarter re-converges from there.
+        da_reset = DualAveragingState(
+            da.log_eps, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+            jnp.log(10.0) + da.log_eps,
+        )
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_var, a, b), da_reset, da
+        )
         return (z_new, da, wf, inv_mass), accept
 
     keys = jax.random.split(key, num_warmup)

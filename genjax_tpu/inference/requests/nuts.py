@@ -320,12 +320,13 @@ class NUTS(EditRequest):
             score, _ = gen_fn.assess(unravel(z_vec) | complement, args)
             return score
 
+        key, up_key = jax.random.split(key)
         z_next, info = nuts_kernel(
             logdensity, flat, key, self.eps,
             inv_mass=self.inv_mass, max_depth=self.max_depth,
         )
         new_tr, _w, retdiff, _bwd = Update(unravel(z_next)).edit(
-            key, tr, argdiffs
+            up_key, tr, argdiffs
         )
         return new_tr, jnp.zeros(()), retdiff, NUTS(
             self.selection, self.eps, self.max_depth, self.inv_mass

@@ -93,17 +93,22 @@ def tempered_smc(
             ess = effective_sample_size(lw)
 
             def do_resample(args):
-                trs, lw, log_z = args
-                trs = resample_tree(k_res, lw, trs, n_particles,
-                                    resampling)
+                trs, logliks, lw, log_z = args
+                # Resample traces and their cached logliks JOINTLY — a
+                # resampled trace must carry its own loglik, or the
+                # tempered MH alpha and the next rung's reweight use
+                # stale values (biasing the posterior and log_z).
+                trs, logliks = resample_tree(
+                    k_res, lw, (trs, logliks), n_particles, resampling
+                )
                 log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
-                return trs, jnp.zeros_like(lw), log_z
+                return trs, logliks, jnp.zeros_like(lw), log_z
 
-            trs, lw, log_z = lax.cond(
+            trs, logliks, lw, log_z = lax.cond(
                 ess < ess_threshold * n_particles,
                 do_resample,
                 lambda args: args,
-                (trs, lw, log_z),
+                (trs, logliks, lw, log_z),
             )
 
             # Rejuvenation moves at temperature `beta`.

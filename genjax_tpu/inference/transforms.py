@@ -144,7 +144,9 @@ def _map_at(chm: ChoiceMap, path: tuple, fn: Callable):
     (simplex: K-1 ↔ K) never leave stale leaves behind."""
     if isinstance(chm, Indexed):
         new_inner, found = _map_at(chm.inner, path, fn)
-        return (Indexed(new_inner, chm.idx) if found else chm), found
+        return (
+            Indexed(new_inner, chm.idx, chm.n) if found else chm
+        ), found
     if not path:
         if isinstance(chm, Choice):
             return Choice(fn(chm.v)), True

@@ -74,7 +74,7 @@ class VmapTrace(Trace[Any]):
         return jnp.sum(self.inner.get_score())
 
     def get_choices(self) -> ChoiceMap:
-        return Indexed(self.inner.get_choices())
+        return Indexed(self.inner.get_choices(), None, self.n)
 
     def get_inner_trace(self, address):
         return jtu.tree_map(lambda v: v[address], self.inner)
