@@ -1,0 +1,223 @@
+"""TPU micro-experiments for the resampling kernel design (ROADMAP perf
+item 1). Times candidate primitives for the 1M-particle ancestor
+expand, plus the per-op kernel floor inside one jit.
+
+Run ONE AT A TIME against the tunnel: python benchmarks/tpu_micro.py
+[--exp NAME]. Results inform genjax_tpu/ops/resample.py.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+N = 1 << 20
+
+
+def sync_time(fn, *args, reps=4):
+    """Median wall time of single dispatches after 2 warmups."""
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda v: v.block_until_ready(), out)
+    for _ in range(2):
+        out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def scan_time(fn, key, reps=20):
+    """Fold reps into one jit (tunnel-reliable), return time/rep."""
+
+    @jax.jit
+    def many(key):
+        def body(c, i):
+            out = fn(jax.random.fold_in(key, i))
+            return c + jnp.sum(jax.tree_util.tree_leaves(out)[0]), None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(reps))
+        return tot
+
+    float(many(key))
+    float(many(jax.random.fold_in(key, 1)))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(many(jax.random.fold_in(key, i + 2)))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1] / reps
+
+
+def make_weights(key):
+    return jax.random.normal(key, (N,)) * 2.0  # log-weights, skewed
+
+
+def exp_current(key):
+    """Current TPU path: counts scatter + cumsum + sorted gather."""
+    from genjax_tpu.inference.smc import resample_tree
+
+    xs = jax.random.normal(key, (N,))
+
+    def f(k):
+        lw = make_weights(k)
+        return resample_tree(k, lw, xs, N)
+
+    return scan_time(f, key)
+
+
+def exp_repeat(key):
+    """counts + jnp.repeat(total_repeat_length) on TPU."""
+    from genjax_tpu.inference.smc import systematic_offspring_counts
+
+    xs = jax.random.normal(key, (N,))
+
+    def f(k):
+        lw = make_weights(k)
+        counts = systematic_offspring_counts(k, lw, N)
+        return jnp.repeat(xs, counts, total_repeat_length=N)
+
+    return scan_time(f, key)
+
+
+def exp_sorted_gather_flag(key):
+    """lax.gather with indices_are_sorted=True on sorted ancestors."""
+    from genjax_tpu.inference.smc import resample_indices
+
+    xs = jax.random.normal(key, (N,))
+
+    def f(k):
+        lw = make_weights(k)
+        idx = resample_indices(k, lw, N)
+        return jnp.take(xs, idx, indices_are_sorted=True,
+                        unique_indices=False)
+
+    return scan_time(f, key)
+
+
+def exp_take_along_rows(key):
+    """Within-row gather: take_along_axis(axis=1) at (8192,128) and
+    (1024,1024)."""
+    out = {}
+    for shape in [(8192, 128), (1024, 1024), (4096, 256)]:
+        g, l = shape
+        xs = jax.random.normal(key, shape)
+
+        def f(k, xs=xs, g=g, l=l):
+            idx = jax.random.randint(k, (g, l), 0, l)
+            return jnp.take_along_axis(xs, idx, axis=1)
+
+        out[str(shape)] = scan_time(f, key)
+    return out
+
+
+def exp_row_gather(key):
+    """Row gather xs2[ids]: (G, L) rows by (G,) ids."""
+    out = {}
+    for shape in [(8192, 128), (1024, 1024)]:
+        g, l = shape
+        xs = jax.random.normal(key, shape)
+
+        def f(k, xs=xs, g=g):
+            ids = jax.random.randint(k, (g,), 0, g)
+            return xs[ids]
+
+        out[str(shape)] = scan_time(f, key)
+    return out
+
+
+def exp_counting_local(key):
+    """Within-group ancestor computation by counting form:
+    a[g,j] = sum_i (s[g,i] <= j) - 1, at (8192,128)."""
+    g, l = 8192, 128
+
+    def f(k):
+        s = jnp.sort(jax.random.randint(k, (g, l), 0, l), axis=1)
+        j = jnp.arange(l)
+        a = jnp.sum(s[:, :, None] <= j[None, None, :], axis=1) - 1
+        return jnp.clip(a, 0, l - 1).astype(jnp.float32)
+
+    return scan_time(f, key)
+
+
+def exp_fill_forward(key):
+    """Monotone scatter of values + associative_scan fill-forward (the
+    scatter-then-cummax expand), vs the two-scatter current path."""
+    xs = jax.random.normal(key, (N,))
+
+    def f(k):
+        from genjax_tpu.inference.smc import systematic_offspring_counts
+
+        lw = make_weights(k)
+        counts = systematic_offspring_counts(k, lw, N)
+        starts = jnp.cumsum(counts) - counts
+        vals = jnp.zeros(N).at[starts].set(xs, mode="drop")
+        flags = jnp.zeros(N, jnp.int32).at[starts].set(
+            jnp.where(counts > 0, 1, 0), mode="drop"
+        )
+
+        def op(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf > 0, bv, av), jnp.maximum(af, bf)
+
+        out, _ = jax.lax.associative_scan(op, (vals, flags))
+        return out
+
+    return scan_time(f, key)
+
+
+def exp_op_floor(key):
+    """Per-kernel overhead: k dependent elementwise ops on 1M f32 inside
+    one jit — slope = per-op cost, intercept = dispatch floor."""
+    out = {}
+    for k_ops in [1, 4, 16, 64]:
+        def f(kk, k_ops=k_ops):
+            x = jax.random.normal(kk, (N,))
+            for i in range(k_ops):
+                x = x * 1.000001 + 0.5
+                x = x - 0.5
+            return x
+
+        out[k_ops] = scan_time(f, key)
+    return out
+
+
+def exp_cumsum(key):
+    def f(k):
+        x = jax.random.normal(k, (N,))
+        return jnp.cumsum(x)
+
+    return scan_time(f, key)
+
+
+EXPS = {k[4:]: v for k, v in list(globals().items())
+        if k.startswith("exp_")}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default=None)
+    args = ap.parse_args()
+    key = jax.random.key(0)
+    names = [args.exp] if args.exp else list(EXPS)
+    print(f"# backend: {jax.default_backend()}, N={N}")
+    for name in names:
+        try:
+            t = EXPS[name](key)
+        except Exception as e:
+            print(f"{name}: FAILED {e!r}")
+            continue
+        if isinstance(t, dict):
+            for sub, tt in t.items():
+                print(f"{name}[{sub}]: {tt * 1e3:.3f} ms")
+        else:
+            print(f"{name}: {t * 1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
