@@ -99,6 +99,12 @@ class FlipEnum(ADEVPrimitive):
     def sample(self, key, p):
         return jr.bernoulli(key, p)
 
+    def enum_support(self, p):
+        return jnp.array([True, False])
+
+    def enum_probs(self, p):
+        return jnp.stack([p, 1.0 - p])
+
     def jvp_estimate(self, key, dual_args, konts):
         _, kdual = konts
         (p_dual,) = dual_args
@@ -123,6 +129,12 @@ class FlipEnumParallel(ADEVPrimitive):
 
     def sample(self, key, p):
         return jr.bernoulli(key, p)
+
+    def enum_support(self, p):
+        return jnp.array([True, False])
+
+    def enum_probs(self, p):
+        return jnp.stack([p, 1.0 - p])
 
     def jvp_estimate(self, key, dual_args, konts):
         _, kdual = konts
@@ -176,6 +188,12 @@ class CategoricalEnumParallel(ADEVPrimitive):
 
     def sample(self, key, logits):
         return jr.categorical(key, logits)
+
+    def enum_support(self, logits):
+        return jnp.arange(logits.shape[-1])
+
+    def enum_probs(self, logits):
+        return jax.nn.softmax(logits)
 
     def jvp_estimate(self, key, dual_args, konts):
         _, kdual = konts

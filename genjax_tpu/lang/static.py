@@ -75,6 +75,10 @@ class MissingAddress(Exception):
 
 _HANDLER_STACK: list["StaticHandler"] = []
 
+# Fine-grained incremental edits (stage the body + Diff interpreter; see
+# lang/static_edit.py). Set False to force the coarse handler path.
+FINE_GRAINED_EDITS = True
+
 
 def trace_here(addr, gen_fn: GenerativeFunction, args: tuple):
     """Record a traced call at ``addr`` under the innermost active handler.
@@ -400,6 +404,21 @@ class Fn(GenerativeFunction[Any]):
              argdiffs: Argdiffs):
         args = Diff.tree_primal(argdiffs)
         args_changed = not Diff.static_check_no_change(argdiffs)
+        if FINE_GRAINED_EDITS and isinstance(
+            request, (Update, Regenerate, StaticRequest)
+        ):
+            try:
+                return self._edit_incremental(key, trace, request, argdiffs)
+            except (
+                jax.errors.TracerBoolConversionError,
+                jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError,
+                jax.errors.TracerIntegerConversionError,
+            ):
+                # Body needs concrete control flow — staging impossible;
+                # the coarse handler path below executes it as plain
+                # Python (sound, just O(sites) re-scoring).
+                pass
         if isinstance(request, Update):
             h: Any = UpdateHandler(key, trace, request.constraint, args_changed)
             with h:
@@ -442,6 +461,26 @@ class Fn(GenerativeFunction[Any]):
         raise NotImplementedError(
             f"Fn does not support request {type(request).__name__}"
         )
+
+    def _edit_incremental(self, key, trace, request, argdiffs):
+        """Fine-grained edit: stage the body (sites as ``site_p`` eqns) and
+        run the incremental (Diff) interpreter so only sites whose inputs
+        actually changed are re-scored. Parity with the reference's
+        update/regenerate transforms (``static.py:443-466`` +
+        ``incremental.py:316-346``); see ``lang/static_edit.py``."""
+        from genjax_tpu.lang.static_edit import edit_via_incremental
+
+        new_trace, weight, retdiff, ctx = edit_via_incremental(
+            self, key, trace, request, argdiffs
+        )
+        if isinstance(request, Update):
+            discard = ChoiceMap.empty()
+            for addr, sub_discard in ctx.discard:
+                discard = discard | sub_discard.extend(addr)
+            return new_trace, weight, retdiff, Update(discard)
+        if isinstance(request, Regenerate):
+            return new_trace, weight, retdiff, Regenerate(request.selection)
+        return new_trace, weight, retdiff, StaticRequest(ctx.bwd)
 
     # -- ergonomics -------------------------------------------------------
 
