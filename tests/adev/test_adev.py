@@ -273,3 +273,81 @@ class TestScanSites:
 
         with pytest.raises(NotImplementedError):
             loss.grad_estimate(KEY, (0.3,))
+
+
+class TestEnumUnderVmap:
+    """Rao-Blackwellized per-lane enumeration lift (VERDICT r1 item 7):
+    enumeration strategies inside a vmapped lane axis — the
+    SMC-particles-around-guide pattern. Mirrors the reference's strategy
+    tests (/root/reference/.../adev/primitives.py:183-254) under an outer
+    vmap."""
+
+    def test_vmapped_flip_enum_separable_exact(self):
+        # Separable loss: the per-lane enum gradient is exact (the
+        # conditioning on other lanes cancels since sum_k dp_k = 0).
+        @expectation
+        def loss(ps):
+            bs = jax.vmap(flip_enum)(ps)
+            return jnp.sum(jnp.where(bs, 3.0, -1.0))
+
+        ps = jnp.array([0.3, 0.6, 0.9])
+        for k in range(3):
+            grad = loss.grad_estimate(jax.random.key(k), (ps,))
+            np.testing.assert_allclose(
+                np.asarray(grad[0]), 4.0 * np.ones(3), rtol=1e-5
+            )
+
+    def test_vmapped_flip_enum_coupled_unbiased(self):
+        # Coupled (product) loss: estimator is unbiased, check the mean.
+        @expectation
+        def loss(ps):
+            bs = jax.vmap(flip_enum)(ps)
+            vals = jnp.where(bs, 2.0, 0.5)
+            return jnp.prod(vals)
+
+        ps = jnp.array([0.4, 0.7])
+        # E = prod_i (2 p_i + .5 (1-p_i)); dE/dp_i = 1.5 * other factor.
+        e0, e1 = 2 * 0.4 + 0.5 * 0.6, 2 * 0.7 + 0.5 * 0.3
+        want = np.array([1.5 * e1, 1.5 * e0])
+        keys = jax.random.split(KEY, 2000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (ps,))[0])(keys)
+        np.testing.assert_allclose(
+            np.asarray(gs.mean(axis=0)), want, atol=0.05
+        )
+
+    def test_vmapped_categorical_enum_separable_exact(self):
+        @expectation
+        def loss(logits):
+            idx = jax.vmap(categorical_enum_parallel)(logits)
+            f = jnp.asarray([1.0, 2.0, 4.0])
+            return jnp.sum(f[idx])
+
+        logits = jnp.log(jnp.array([[0.2, 0.3, 0.5], [0.5, 0.25, 0.25]]))
+        grad = loss.grad_estimate(KEY, (logits,))
+        p = np.exp(np.asarray(logits))
+        f = np.array([1.0, 2.0, 4.0])
+        want = p * (f[None, :] - (p * f).sum(axis=1, keepdims=True))
+        np.testing.assert_allclose(np.asarray(grad[0]), want, rtol=1e-4)
+
+    def test_vmapped_enum_with_downstream_reparam(self):
+        # Enum lanes feeding a reparameterized site: both tangent paths.
+        @expectation
+        def loss(ps, mu):
+            bs = jax.vmap(flip_enum)(ps)
+            shift = jnp.sum(jnp.where(bs, 1.0, 0.0))
+            x = normal_reparam(mu + shift, 0.1)
+            return x
+
+        ps = jnp.array([0.2, 0.8])
+        keys = jax.random.split(KEY, 500)
+        gs = jax.vmap(
+            lambda k: jnp.stack(
+                jax.tree_util.tree_leaves(
+                    loss.grad_estimate(k, (ps, 0.5))
+                )[0]
+            )
+        )(keys)
+        # E[x] = mu + sum p_i; d/dp_i = 1 exactly per lane.
+        np.testing.assert_allclose(
+            np.asarray(gs.mean(axis=0)), np.ones(2), atol=0.03
+        )
