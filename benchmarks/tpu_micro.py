@@ -7,7 +7,11 @@ Run ONE AT A TIME against the tunnel: python benchmarks/tpu_micro.py
 """
 
 import argparse
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
 import jax
 import jax.numpy as jnp

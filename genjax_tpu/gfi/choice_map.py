@@ -563,11 +563,80 @@ def lanes_leading(chm: ChoiceMap, batch_ndim: int) -> ChoiceMap:
                     "are not supported; canonical idx=None only."
                 )
             return Indexed(walk(node.inner, depth + 1), None, node.n)
+        if isinstance(node, Switch):
+            # idx is one scalar per instance: under ``depth`` Indexed
+            # layers and ``batch_ndim`` vmap axes it is exactly a
+            # (batch…, lane…) leaf, so the same axis fix applies.
+            return Switch(
+                fix_leaf(node.idx, depth)
+                if jnp.ndim(node.idx) else node.idx,
+                tuple(walk(b, depth) for b in node.branches),
+            )
+        if isinstance(node, Filtered):
+            # Selections carry flag leaves (MaskedSel) that vmap also
+            # batched; rearrange them in place.
+            fixed_sel = jtu.tree_map(
+                lambda x: fix_leaf(x, depth), node.selection
+            )
+            return Filtered(walk(node.inner, depth), fixed_sel)
         raise NotImplementedError(
             f"lanes_leading through {type(node).__name__} nodes."
         )
 
     return walk(chm, 0)
+
+
+def partition_values(chm: ChoiceMap):
+    """Split ``chm`` into ``(values, rebuild)``: ``values`` is a pytree
+    holding only the :class:`Choice` leaf payloads (what a gradient-based
+    sampler may move), and ``rebuild(new_values)`` reconstitutes an
+    identically-structured choice map around them.
+
+    Structural leaves — :class:`Switch` ``idx``, :class:`Mask` flags,
+    :class:`Filtered` selections, explicit :class:`Indexed` ``idx`` — are
+    captured in the ``rebuild`` closure instead of appearing in
+    ``values``, so ``ravel_pytree(values)`` never folds a branch index or
+    liveness flag into a sampler's position vector. No reference
+    counterpart (the reference's HMC never consumed Switch choice maps)."""
+    if isinstance(chm, Choice):
+        v = chm.v
+        if isinstance(v, Mask):
+            flag = v.flag
+            return v.value, lambda nv: Choice(Mask(nv, flag))
+        return v, lambda nv: Choice(nv)
+    if isinstance(chm, Empty):
+        return (), lambda nv: chm
+    if isinstance(chm, Static):
+        parts = [partition_values(s) for s in chm.submaps]
+        vals = tuple(p[0] for p in parts)
+        rbs = tuple(p[1] for p in parts)
+        keys = chm.keys
+        return vals, lambda nvs: Static(
+            tuple(r(nv) for r, nv in zip(rbs, nvs)), keys
+        )
+    if isinstance(chm, Or):
+        lv, lr = partition_values(chm.left)
+        rv, rr = partition_values(chm.right)
+        return (lv, rv), lambda nvs: Or(lr(nvs[0]), rr(nvs[1]))
+    if isinstance(chm, Indexed):
+        iv, ir = partition_values(chm.inner)
+        idx, n = chm.idx, chm.n
+        return iv, lambda nv: Indexed(ir(nv), idx, n)
+    if isinstance(chm, Switch):
+        parts = [partition_values(b) for b in chm.branches]
+        vals = tuple(p[0] for p in parts)
+        rbs = tuple(p[1] for p in parts)
+        idx = chm.idx
+        return vals, lambda nvs: Switch(
+            idx, tuple(r(nv) for r, nv in zip(rbs, nvs))
+        )
+    if isinstance(chm, Filtered):
+        iv, ir = partition_values(chm.inner)
+        sel = chm.selection
+        return iv, lambda nv: Filtered(ir(nv), sel)
+    raise NotImplementedError(
+        f"partition_values through {type(chm).__name__} nodes."
+    )
 
 
 @Pytree.dataclass

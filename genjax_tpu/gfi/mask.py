@@ -143,14 +143,30 @@ class Mask(Pytree, Generic[T]):
                          is_leaf=lambda p: isinstance(p, tuple)),
         )
 
+    @staticmethod
+    def _select_by_flag(flag: Flag, va, vb):
+        """Leafwise ``where(flag, va, vb)``; a per-lane flag broadcasts
+        over trailing event dims (``tree_choose`` is scalar-index only —
+        a vector index there becomes an outer-product gather)."""
+        if isinstance(flag, bool):
+            return va if flag else vb
+        f = jnp.asarray(flag)
+        if f.ndim == 0:
+            return tree_choose(jnp.where(f, 0, 1), [va, vb])
+
+        def pick(x, y):
+            ff = f.reshape(f.shape + (1,) * (jnp.ndim(x) - f.ndim))
+            return jnp.where(ff, x, y)
+
+        return jtu.tree_map(pick, va, vb)
+
     def __or__(self, other: "Mask[T]") -> "Mask[T]":
         """Disjunction: valid if either is; prefers ``self``'s value when
         both valid. Parity: reference ``functional_types.py:283-315``."""
         assert isinstance(other, Mask)
         new_flag = FlagOp.or_(self.flag, other.flag)
-        idx = FlagOp.where(self.flag, 0, 1)
         va, vb = Mask._broadcast_values(self.value, other.value)
-        value = tree_choose(idx, [va, vb])
+        value = Mask._select_by_flag(self.flag, va, vb)
         return Mask(value, new_flag)
 
     def __xor__(self, other: "Mask[T]") -> "Mask[T]":
@@ -159,9 +175,8 @@ class Mask(Pytree, Generic[T]):
         Parity: reference ``functional_types.py:316-338``."""
         assert isinstance(other, Mask)
         new_flag = FlagOp.xor_(self.flag, other.flag)
-        idx = FlagOp.where(self.flag, 0, 1)
         va, vb = Mask._broadcast_values(self.value, other.value)
-        value = tree_choose(idx, [va, vb])
+        value = Mask._select_by_flag(self.flag, va, vb)
         return Mask(value, new_flag)
 
     @staticmethod

@@ -192,7 +192,7 @@ def run_nuts(
             # choice map (i.e. observed sites) — tested with the same
             # Indexed-transparent lookup constrain_choices uses.
             _, found = _map_at(
-                probe_latents, _addr_path(addr), lambda v: v
+                probe_latents, _addr_path(addr), lambda v, gate, branch: v
             )
             return not found
 
@@ -213,13 +213,23 @@ def run_nuts(
             target.filter_to_unconstrained(tr.get_choices()), transforms
         )
     )(trs)
-    _, unravel = ravel_pytree(
+    from genjax_tpu.gfi.choice_map import partition_values
+
+    # Structural leaves (Switch idx, Mask flags) are deterministic given
+    # the target's args, hence chain-independent — close over chain 0's
+    # and ravel only the Choice payloads into the position vector.
+    vals0, rebuild = partition_values(
         jax.tree_util.tree_map(lambda v: v[0], latents0)
     )
+    _, unravel_vals = ravel_pytree(vals0)
+
+    def unravel(z_vec):
+        return rebuild(unravel_vals(z_vec))
+
     z0s = jax.vmap(
-        lambda i: ravel_pytree(
+        lambda i: ravel_pytree(partition_values(
             jax.tree_util.tree_map(lambda v: v[i], latents0)
-        )[0]
+        )[0])[0]
     )(jnp.arange(n_chains))
     z0s = constrain(z0s)
 

@@ -21,6 +21,7 @@ from jax.flatten_util import ravel_pytree
 
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.compiler.interpreters.incremental import Diff
+from genjax_tpu.gfi.choice_map import partition_values
 from genjax_tpu.gfi.concepts import Argdiffs, EditRequest
 from genjax_tpu.gfi.gfn import Trace
 from genjax_tpu.gfi.requests import Update
@@ -313,7 +314,14 @@ class NUTS(EditRequest):
         chm = tr.get_choices()
         selected = chm.filter(self.selection)
         complement = chm.filter(~self.selection)
-        flat, unravel = ravel_pytree(selected)
+        # Ravel only the Choice payloads — structural leaves (Switch
+        # idx, Mask flags) stay out of the position vector.
+        vals, rebuild = partition_values(selected)
+        flat, unravel_vals = ravel_pytree(vals)
+
+        def unravel(z_vec):
+            return rebuild(unravel_vals(z_vec))
+
         gen_fn = tr.get_gen_fn()
 
         def logdensity(z_vec):

@@ -17,14 +17,17 @@ from genjax_tpu.gfi.choice_map import (
     Choice,
     ChoiceMap,
     Empty,
+    Filtered,
     Indexed,
     Or,
     Static,
+    Switch,
 )
+from genjax_tpu.gfi.mask import Mask
 
 __all__ = ["Bijector", "identity", "positive", "interval", "simplex",
-           "get_bijector", "constrain_choices", "unconstrain_choices",
-           "infer_transforms"]
+           "PerBranch", "get_bijector", "constrain_choices",
+           "unconstrain_choices", "infer_transforms"]
 
 
 class Bijector(NamedTuple):
@@ -117,9 +120,26 @@ simplex = Bijector(
 _NAMED = {"identity": identity, "positive": positive, "simplex": simplex}
 
 
+#: Sentinel distinguishing "address absent in this Switch branch" from
+#: "present but unconstrained" (= None) during support inference.
+_ABSENT = object()
+
+
+class PerBranch(NamedTuple):
+    """Branch-dependent bijector specs for an address that lives under a
+    :class:`Switch` node with different supports per branch (e.g. ``"x"``
+    is normal in branch 0 but gamma in branch 1). ``specs[b]`` applies to
+    branch ``b``'s leaf; ``None`` means identity. Built automatically by
+    :func:`infer_transforms` when branch supports disagree."""
+
+    specs: tuple
+
+
 def get_bijector(spec) -> Bijector:
     if isinstance(spec, Bijector):
         return spec
+    if spec is None:
+        return identity
     if isinstance(spec, str):
         return _NAMED[spec]
     if isinstance(spec, tuple) and len(spec) == 2:
@@ -131,31 +151,55 @@ def _addr_path(addr) -> tuple:
     return addr if isinstance(addr, tuple) else (addr,)
 
 
-def _map_at(chm: ChoiceMap, path: tuple, fn: Callable):
-    """Structurally replace the leaf at ``path`` with ``fn(value)``,
-    returning ``(new_chm, found)``. :class:`Indexed` nodes (Scan/Vmap
-    choices) are transparent — the integer layer is not named in
-    ``path``, and ``fn`` sees the whole stacked leaf (bijectors apply
-    elementwise; their ``fldj`` sums over all dims, which is exactly the
-    total change-of-variables term for independent lanes/steps).
+def _and_gate(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_and(a, b)
+
+
+def _map_at(chm: ChoiceMap, path: tuple, fn: Callable, gate=None,
+            branch=None):
+    """Structurally replace the leaf at ``path`` with
+    ``fn(value, gate, branch)``, returning ``(new_chm, found)``.
+    :class:`Indexed` nodes (Scan/Vmap choices) are transparent — the
+    integer layer is not named in ``path``, and ``fn`` sees the whole
+    stacked leaf (bijectors apply elementwise; their ``fldj`` sums over
+    all dims, which is exactly the total change-of-variables term for
+    independent lanes/steps).
+
+    ``gate`` (None = unconditionally live) is the conjunction of branch
+    conditions along the way: under a :class:`Switch` node the leaf in
+    branch b only exists when ``idx == b``, so bijectors must gate their
+    fldj (and domain-sensitive inverses) by it — that is how
+    branch-dependent supports work (VERDICT r1 item 8). ``branch`` is
+    the innermost Switch branch index on the way down (for
+    :class:`PerBranch` specs); the same address may be found in several
+    branches, each visit gated by its own condition.
 
     In-place leaf surgery (rather than an overlay merge) keeps the
     choice-map structure identical, so shape-changing bijectors
     (simplex: K-1 ↔ K) never leave stale leaves behind."""
     if isinstance(chm, Indexed):
-        new_inner, found = _map_at(chm.inner, path, fn)
+        new_inner, found = _map_at(chm.inner, path, fn, gate, branch)
         return (
             Indexed(new_inner, chm.idx, chm.n) if found else chm
         ), found
     if not path:
         if isinstance(chm, Choice):
-            return Choice(fn(chm.v)), True
+            v = chm.v
+            if isinstance(v, Mask):
+                new = fn(v.value, _and_gate(gate, v.primal_flag()),
+                         branch)
+                return Choice(Mask.build(new, v.flag)), True
+            return Choice(fn(v, gate, branch)), True
         return chm, False
     if isinstance(chm, Static):
         comp, rest = path[0], path[1:]
         for i, (k, sub) in enumerate(zip(chm.keys, chm.submaps)):
             if k == comp:
-                new_sub, found = _map_at(sub, rest, fn)
+                new_sub, found = _map_at(sub, rest, fn, gate, branch)
                 if not found:
                     return chm, False
                 submaps = (
@@ -164,17 +208,80 @@ def _map_at(chm: ChoiceMap, path: tuple, fn: Callable):
                 return Static(submaps, chm.keys), True
         return chm, False
     if isinstance(chm, Or):
-        new_left, found = _map_at(chm.left, path, fn)
+        new_left, found = _map_at(chm.left, path, fn, gate, branch)
         if found:
             return Or(new_left, chm.right), True
-        new_right, found = _map_at(chm.right, path, fn)
+        new_right, found = _map_at(chm.right, path, fn, gate, branch)
         return (Or(chm.left, new_right) if found else chm), found
+    if isinstance(chm, Switch):
+        idx = jnp.asarray(chm.idx)
+        new_branches = []
+        found_any = False
+        for b, br in enumerate(chm.branches):
+            nb, f = _map_at(br, path, fn, _and_gate(gate, idx == b), b)
+            new_branches.append(nb if f else br)
+            found_any = found_any or f
+        if not found_any:
+            return chm, False
+        return Switch(chm.idx, tuple(new_branches)), True
+    if isinstance(chm, Filtered):
+        # A lazy filter gates existence by the selection; when the path
+        # bottoms out here the root check is the exact liveness flag.
+        # For deeper paths the filter's effect shows up as Masks at the
+        # leaves, so descend ungated.
+        flag = chm.selection.check() if not path else None
+        new_inner, found = _map_at(
+            chm.inner, path, fn, _and_gate(gate, flag), branch
+        )
+        return (
+            Filtered(new_inner, chm.selection) if found else chm
+        ), found
     if isinstance(chm, (Empty, Choice)):
         return chm, False
     raise NotImplementedError(
         f"Support transforms through {type(chm).__name__} nodes are not "
-        "supported (Switch/Filtered subtrees: ROADMAP)."
+        "supported."
     )
+
+
+def _gated_fldj(bij: Bijector, v, gate) -> jax.Array:
+    """Sum of ``bij.fldj`` over the lanes where ``gate`` holds.
+
+    ``gate`` is scalar for a plain Switch branch (idx is a scalar) and
+    has leading lane dims matching ``v``'s when the branch condition is
+    itself batched (vmapped Switch, masked Scan steps)."""
+    g = jnp.asarray(gate)
+    if g.ndim == 0:
+        return jnp.where(g, bij.fldj(v), 0.0)
+    f = bij.fldj
+    for _ in range(g.ndim):
+        f = jax.vmap(f)
+    return jnp.sum(jnp.where(g, f(v), 0.0))
+
+
+def _safe_inverse(bij: Bijector, v, gate):
+    """``bij.inverse(v)`` where ``gate`` holds, 0 elsewhere — the inverse
+    of a domain-restricted bijector on a dead branch's placeholder value
+    can be NaN, so dead lanes are replaced by an in-domain probe value
+    (``forward(0)``) before inverting."""
+    g = jnp.asarray(gate)
+    g_in = jnp.reshape(g, g.shape + (1,) * (jnp.ndim(v) - g.ndim))
+    probe = bij.forward(jnp.zeros_like(bij.inverse(jnp.ones_like(v))))
+    safe = jnp.where(g_in, v, probe)
+    u = bij.inverse(safe)
+    g_out = jnp.reshape(g, g.shape + (1,) * (jnp.ndim(u) - g.ndim))
+    return jnp.where(g_out, u, 0.0)
+
+
+def _resolve_spec(spec, branch):
+    if isinstance(spec, PerBranch):
+        if branch is None:
+            raise ValueError(
+                "PerBranch transform spec used at an address that is not "
+                "under a Switch node."
+            )
+        return get_bijector(spec.specs[branch])
+    return get_bijector(spec)
 
 
 def _apply_transforms(chm: ChoiceMap, transforms: dict,
@@ -182,22 +289,30 @@ def _apply_transforms(chm: ChoiceMap, transforms: dict,
     fldj = jnp.zeros(())
     out = chm
     for addr, spec in transforms.items():
-        bij = get_bijector(spec)
         box = []
 
-        def fn(v, bij=bij, box=box):
+        def fn(v, gate, branch, spec=spec, box=box):
+            bij = _resolve_spec(spec, branch)
             if direction == "forward":
-                box.append(bij.fldj(v))
+                box.append(
+                    bij.fldj(v) if gate is None
+                    else _gated_fldj(bij, v, gate)
+                )
                 return bij.forward(v)
-            return bij.inverse(v)
+            if gate is None:
+                return bij.inverse(v)
+            return _safe_inverse(bij, v, gate)
 
         out, found = _map_at(out, _addr_path(addr), fn)
         if not found:
             raise KeyError(
                 f"Transform address {addr!r} not present in choice map."
             )
-        if box:
-            fldj = fldj + box[0]
+        # One box entry per visited branch/leaf, each already gated by
+        # its own liveness condition — their sum is the total
+        # change-of-variables term for this address.
+        for j in box:
+            fldj = fldj + j
     return out, fldj
 
 
@@ -225,40 +340,67 @@ def infer_transforms(trace, *, exclude=None) -> dict:
     New scope vs the reference (its HMC had no support handling at
     all)."""
     from genjax_tpu.lang.combinators.dimap import DimapTrace
+    from genjax_tpu.lang.combinators.mask import MaskTrace
     from genjax_tpu.lang.combinators.scan import ScanTrace
+    from genjax_tpu.lang.combinators.switch import SwitchTrace
     from genjax_tpu.lang.combinators.vmap import VmapTrace
     from genjax_tpu.lang.distributions.distribution import DistributionTrace
     from genjax_tpu.lang.static import StaticTrace
 
     out: dict = {}
 
-    def walk(tr, path):
+    def walk(tr, path, sink):
         if isinstance(tr, StaticTrace):
             for addr, sub in zip(tr.addresses, tr.subtraces):
-                walk(sub, path + (addr,))
+                walk(sub, path + (addr,), sink)
         elif isinstance(tr, (ScanTrace, VmapTrace)):
             # The integer (step/lane) layer is transparent in transform
             # paths — ``_map_at`` descends through the Indexed node and
             # the bijector applies elementwise over the stacked leaf.
-            walk(tr.inner, path)
-        elif isinstance(tr, DimapTrace):
-            # Dimap preserves the inner choice structure.
-            walk(tr.inner, path)
+            walk(tr.inner, path, sink)
+        elif isinstance(tr, (DimapTrace, MaskTrace)):
+            # Dimap/Mask preserve the inner choice structure (the mask
+            # gate surfaces as a Mask leaf, handled by ``_map_at``).
+            walk(tr.inner, path, sink)
+        elif isinstance(tr, SwitchTrace):
+            # All-branch subtraces: collect supports per branch, merge.
+            # Agreeing branches share a plain spec; disagreeing ones get
+            # a PerBranch spec so each branch's leaf is transformed by
+            # its own bijector, gated by idx == b at apply time
+            # (branch-dependent supports, VERDICT r1 item 8). A site
+            # recorded as None is present-but-unconstrained — distinct
+            # from absent-in-this-branch, which ``_map_at`` never
+            # visits.
+            per = []
+            for sub in tr.subtraces:
+                d: dict = {}
+                walk(sub, path, d)
+                per.append(d)
+            for addr in {a for d in per for a in d}:
+                specs = [d.get(addr, _ABSENT) for d in per]
+                present = [s for s in specs if s is not _ABSENT]
+                if all(s == present[0] for s in present):
+                    sink[addr] = present[0]
+                else:
+                    sink[addr] = PerBranch(tuple(
+                        None if s is _ABSENT else s for s in specs
+                    ))
         elif isinstance(tr, DistributionTrace):
             v = tr.get_retval()
+            if isinstance(v, Mask):
+                v = v.value
             if not jnp.issubdtype(jnp.result_type(v), jnp.floating):
                 return
             spec = tr.get_gen_fn().get_support(*tr.get_args())
-            if spec is None:
-                return
             if spec == "unit_interval":
                 spec = (0.0, 1.0)
             addr = path[0] if len(path) == 1 else path
             if exclude is not None and exclude(addr):
                 return
-            out[addr] = spec
-        # Switch subtraces are skipped (branch-dependent supports:
-        # ROADMAP).
+            # None = present but unconstrained; kept during the walk so
+            # Switch merging can tell it apart from an absent site, and
+            # dropped from the final dict (identity transform).
+            sink[addr] = spec
 
-    walk(trace, ())
-    return out
+    walk(trace, (), out)
+    return {a: s for a, s in out.items() if s is not None}

@@ -81,6 +81,25 @@ class Switch(GenerativeFunction[Any]):
         assert len(branch_args) == len(self.branches)
         return idx, branch_args
 
+    def _branch_views(self, chm: ChoiceMap) -> list:
+        """Per-branch views of a constraint. A Switch-shaped constraint
+        with matching arity unzips so branch ``b`` consumes its OWN
+        leaves: after support transforms each branch's values are always
+        inside that branch's support, which keeps untaken-branch scoring
+        NaN-free under ``grad`` (NUTS/HMC over branch-dependent
+        supports). Any other constraint is shared across branches — the
+        branch lookup then mask-merges live lanes (an out-of-support
+        value fed to an untaken branch scores garbage that
+        ``tree_choose`` discards, but its gradient can NaN — prefer
+        Switch-shaped constraints for differentiable edits)."""
+        from genjax_tpu.gfi.choice_map import Switch as SwitchChm
+
+        if isinstance(chm, SwitchChm) and (
+            len(chm.branches) == len(self.branches)
+        ):
+            return list(chm.branches)
+        return [chm] * len(self.branches)
+
     def _build(self, args, subtraces):
         idx, _ = self._split_args(args)
         retval = tree_choose(idx, [tr.get_retval() for tr in subtraces])
@@ -97,7 +116,9 @@ class Switch(GenerativeFunction[Any]):
     def assess(self, chm: ChoiceMap, args: tuple):
         idx, branch_args = self._split_args(args)
         fs = [b.assess for b in self.branches]
-        arg_tuples = [(chm, a) for a in branch_args]
+        arg_tuples = [
+            (c, a) for c, a in zip(self._branch_views(chm), branch_args)
+        ]
         outs = multi_switch(idx, fs, arg_tuples)
         score = tree_choose(idx, [s for s, _ in outs])
         retval = tree_choose(idx, [r for _, r in outs])
@@ -106,7 +127,10 @@ class Switch(GenerativeFunction[Any]):
     def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
         idx, branch_args = self._split_args(args)
         fs = [b.generate for b in self.branches]
-        arg_tuples = [(key, constraint, a) for a in branch_args]
+        arg_tuples = [
+            (key, c, a)
+            for c, a in zip(self._branch_views(constraint), branch_args)
+        ]
         outs = multi_switch(idx, fs, arg_tuples)
         subtraces = [tr for tr, _ in outs]
         w = tree_choose(idx, [w for _, w in outs])
@@ -149,9 +173,16 @@ class Switch(GenerativeFunction[Any]):
         # ChangeTangent (sound: NoChange only if everything is unchanged).
         tangent = Diff.tree_tangent(argdiffs[1:])
 
+        if isinstance(request, Update):
+            reqs = [
+                Update(v) for v in self._branch_views(request.constraint)
+            ]
+        else:
+            reqs = [request] * len(self.branches)
+
         fs = []
-        for b in self.branches:
-            def f(key, tr, a, _req=request, _tan=tangent):
+        for b, breq in zip(self.branches, reqs):
+            def f(key, tr, a, _req=breq, _tan=tangent):
                 new_tr, w, _rd, bwd = _req.edit(
                     key, tr, Diff.tree_diff(a, _tan)
                 )
@@ -183,13 +214,17 @@ class Switch(GenerativeFunction[Any]):
                            request: "Update", args: tuple):
         new_idx, branch_args = self._split_args(args)
 
+        reqs = [
+            Update(v) for v in self._branch_views(request.constraint)
+        ]
+
         fs = []
-        for b in self.branches:
-            def f(key, a, _b=b):
+        for b, breq in zip(self.branches, reqs):
+            def f(key, a, _b=b, _req=breq):
                 sim_key, edit_key = jax.random.split(key)
                 new_tr = _b.simulate(sim_key, a)
                 edited, w, _rd, _bwd = _b.edit(
-                    edit_key, new_tr, request, Diff.no_change(a)
+                    edit_key, new_tr, _req, Diff.no_change(a)
                 )
                 return edited, w
             fs.append(f)

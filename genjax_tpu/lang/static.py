@@ -13,10 +13,13 @@ innermost active :class:`StaticHandler`. Because JAX tracing is itself a Python
 execution, this composes with ``jit`` / ``vmap`` / ``shard_map`` with no
 interpretation overhead, no custom primitives, and no jaxpr walking — the
 traced XLA program is identical, the trace-time cost is lower, and there is no
-2nd interpreter to keep in sync with JAX internals. The incremental-computation
-role of the reference's Diff interpreter is played by a coarser but sound
-static rule: a site/return value is ``NoChange`` only when *all* of its
-(statically known) inputs are unchanged.
+2nd interpreter to keep in sync with JAX internals. For Update/Regenerate
+edits, fine-grained incremental re-scoring stages the body once and runs the
+jaxpr-level Diff interpreter over it (``lang/static_edit.py``), re-scoring
+only sites whose inputs actually changed — matching the reference's
+``incremental.py:316-346`` capability; bodies needing concrete control flow
+fall back to the coarser (still sound) handler rule: a site/return value is
+``NoChange`` only when *all* of its (statically known) inputs are unchanged.
 
 Weight/score conventions follow the GFI exactly (see
 ``genjax_tpu/gfi/concepts.py``); the SMCP3 edit-weight identities are enforced
