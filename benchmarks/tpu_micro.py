@@ -175,6 +175,26 @@ def exp_fill_forward(key):
     return scan_time(f, key)
 
 
+def exp_blocked_expand(key):
+    """Blocked interval-expansion resampler (ops/resample.py) at 1M:
+    counts + expand, parameter sweep over (rows_per_block, margin)."""
+    from genjax_tpu.inference.smc import systematic_offspring_counts
+    from genjax_tpu.ops.resample import expand_by_counts
+
+    xs = jax.random.normal(key, (N,))
+    out = {}
+    for r, mg in [(1, 1), (1, 2), (1, 3), (1, 7)]:
+        def f(k, r=r, mg=mg):
+            lw = make_weights(k)
+            counts = systematic_offspring_counts(k, lw, N)
+            return expand_by_counts(
+                xs, counts, N, rows_per_block=r, margin=mg
+            )
+
+        out[f"R{r}m{mg}"] = scan_time(f, key)
+    return out
+
+
 def exp_op_floor(key):
     """Per-kernel overhead: k dependent elementwise ops on 1M f32 inside
     one jit — slope = per-op cost, intercept = dispatch floor."""

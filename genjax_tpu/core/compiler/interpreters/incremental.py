@@ -16,6 +16,10 @@ import jax.tree_util as jtu
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.compiler.staging import stage
 from genjax_tpu.core.compiler.interpreters.environment import Environment
+from genjax_tpu.core.compiler.interpreters.stateful import (
+    StatefulHandler,
+    eval_jaxpr_stateful,
+)
 
 __all__ = [
     "ChangeTangent",
@@ -136,27 +140,39 @@ def _default_propagation_rule(primitive, invals: list[Diff], **params):
     return [Diff(o, tangent) for o in outs]
 
 
+class IncrementalHandler(StatefulHandler):
+    """Change-tangent propagation as a stateful-interpreter handler: it
+    intercepts every equation, coerces operands to :class:`Diff` duals
+    (plain consts become ``NoChange``), and dispatches to the rule table
+    (``_default_propagation_rule`` re-executes the primitive and joins
+    tangents; site rules — e.g. ``lang/static_edit.py`` — override)."""
+
+    def __init__(self, rules: dict | None = None):
+        self.rules = rules or {}
+
+    def handles(self, primitive) -> bool:
+        return True
+
+    def dispatch(self, primitive, *invals, **params):
+        duals = [
+            v if _is_diff(v) else Diff(v, NoChange) for v in invals
+        ]
+        rule = self.rules.get(primitive, _default_propagation_rule)
+        return rule(primitive, duals, **params)
+
+
 def eval_jaxpr_incremental(
     jaxpr, consts, flat_duals: list[Diff], rules: dict | None = None
 ) -> list[Diff]:
-    rules = rules or {}
-    env = Environment()
-    for var, val in zip(jaxpr.constvars, consts):
-        env[var] = Diff(val, NoChange)
-    for var, val in zip(jaxpr.invars, flat_duals):
-        env[var] = val if _is_diff(val) else Diff(val, UnknownChange)
-
-    for eqn in jaxpr.eqns:
-        invals = [
-            v if _is_diff(v) else Diff(v, NoChange)
-            for v in (env[var] for var in eqn.invars)
-        ]
-        rule = rules.get(eqn.primitive, _default_propagation_rule)
-        outs = rule(eqn.primitive, invals, **eqn.params)
-        for var, val in zip(eqn.outvars, outs):
-            env[var] = val
-
-    return [env[v] for v in jaxpr.outvars]
+    """Run a jaxpr under change propagation — built on the generic
+    stateful jaxpr interpreter (``interpreters/stateful.py``), which
+    supplies the equation walk and environment threading."""
+    duals = [
+        v if _is_diff(v) else Diff(v, UnknownChange) for v in flat_duals
+    ]
+    return eval_jaxpr_stateful(
+        IncrementalHandler(rules), jaxpr, consts, *duals
+    )
 
 
 def incremental(fn: Callable):

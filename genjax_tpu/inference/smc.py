@@ -125,17 +125,34 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
 
     Backend-dispatched implementation of the systematic method, from
     end-to-end A/B measurements of the full filter loop at 1M particles:
-    on TPU the sorted ancestor gather wins (55M vs 33M particle-steps/s);
-    on CPU offspring-counts + ``jnp.repeat`` is ~2x faster. Both are
-    bitwise-equivalent resamplings of the same uniform grid."""
-    if method == "systematic" and jax.default_backend() != "tpu":
-        counts = systematic_offspring_counts(key, log_weights, n)
-        return jtu.tree_map(
-            lambda v: jnp.repeat(
-                v, counts, axis=0, total_repeat_length=n
-            ),
-            tree,
+    on TPU lane-aligned sizes use the blocked interval expansion
+    (``ops/resample.py`` — whole-row DMA + membership masks, no
+    element gathers; ~5x the gather path at 1M), other sizes the sorted
+    ancestor gather; on CPU offspring-counts + ``jnp.repeat`` is ~2x
+    faster. All are bitwise-equivalent resamplings of the same uniform
+    grid."""
+    if method == "systematic":
+        k = log_weights.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu:
+            counts = systematic_offspring_counts(key, log_weights, n)
+            return jtu.tree_map(
+                lambda v: jnp.repeat(
+                    v, counts, axis=0, total_repeat_length=n
+                ),
+                tree,
+            )
+        from genjax_tpu.ops.resample import (
+            expand_by_counts,
+            supports_fast_expand,
         )
+
+        leaves = jtu.tree_leaves(tree)
+        if supports_fast_expand(k, n) and all(
+            jnp.ndim(l) >= 1 and jnp.shape(l)[0] == k for l in leaves
+        ):
+            counts = systematic_offspring_counts(key, log_weights, n)
+            return expand_by_counts(tree, counts, n)
     idx = resample_indices(key, log_weights, n, method)
     return jtu.tree_map(lambda v: v[idx], tree)
 

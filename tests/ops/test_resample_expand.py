@@ -1,0 +1,105 @@
+"""Blocked interval-expansion resampler vs the jnp.repeat oracle —
+bitwise equality across weight regimes, dtypes, and pytrees."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genjax_tpu.ops.resample import expand_by_counts, supports_fast_expand
+
+KEY = jax.random.key(11)
+
+
+def _counts_from_logw(key, logw, n):
+    from genjax_tpu.inference.smc import systematic_offspring_counts
+
+    return systematic_offspring_counts(key, logw, n)
+
+
+def _oracle(tree, counts, n):
+    return jax.tree_util.tree_map(
+        lambda v: jnp.repeat(v, counts, axis=0, total_repeat_length=n),
+        tree,
+    )
+
+
+N = 1024  # = 8 lane rows of 128; blocks of 2 rows
+
+
+@pytest.mark.parametrize("regime", [
+    "uniform", "mild", "skewed", "one_hot", "two_far", "head_tail",
+])
+def test_matches_repeat(regime):
+    n = N
+    if regime == "uniform":
+        logw = jnp.zeros(n)
+    elif regime == "mild":
+        logw = jax.random.normal(KEY, (n,))
+    elif regime == "skewed":
+        logw = 3.0 * jax.random.normal(KEY, (n,))
+    elif regime == "one_hot":
+        logw = jnp.where(jnp.arange(n) == 389, 0.0, -1e9)
+    elif regime == "two_far":
+        # Two surviving particles in far-apart lane rows: stresses the
+        # empty-row compaction (long runs without it).
+        logw = jnp.where(
+            (jnp.arange(n) == 3) | (jnp.arange(n) == n - 2), 0.0, -1e9
+        )
+    else:  # head_tail
+        logw = jnp.where(jnp.arange(n) < 8, 10.0, -2.0)
+    counts = _counts_from_logw(KEY, logw, n)
+    assert int(counts.sum()) == n
+    xs = jax.random.normal(jax.random.key(1), (n,))
+    got = expand_by_counts(xs, counts, n)
+    want = _oracle(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pytree_multi_dtype():
+    n = N
+    logw = jax.random.normal(KEY, (n,)) * 2.0
+    counts = _counts_from_logw(KEY, logw, n)
+    tree = {
+        "x": jax.random.normal(jax.random.key(2), (n, 3)),
+        "z": jax.random.randint(jax.random.key(3), (n,), 0, 1000),
+        "f": jax.random.bernoulli(jax.random.key(4), 0.5, (n,)),
+    }
+    got = expand_by_counts(tree, counts, n)
+    want = _oracle(tree, counts, n)
+    for k in tree:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+        assert got[k].dtype == want[k].dtype
+
+
+def test_jit_and_grad_safe_shapes():
+    n = N
+    logw = jax.random.normal(KEY, (n,))
+    counts = _counts_from_logw(KEY, logw, n)
+    xs = jax.random.normal(jax.random.key(5), (n,))
+    got = jax.jit(lambda c, x: expand_by_counts(x, c, n))(counts, xs)
+    want = _oracle(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_supports_fast_expand():
+    assert supports_fast_expand(1 << 20, 1 << 20)
+    assert not supports_fast_expand(1000, 1000)
+    assert not supports_fast_expand(1 << 20, 1 << 19)
+
+
+def test_block_boundary_runs():
+    """Counts engineered so intervals straddle block boundaries."""
+    n = N
+    counts = jnp.zeros((n,), jnp.int32)
+    # Source 0 covers 300 dests (crosses two block boundaries), source
+    # 511 covers the rest of the first half, source 512 the second half.
+    counts = counts.at[0].set(300)
+    counts = counts.at[511].set(212)
+    counts = counts.at[512].set(n - 512)
+    xs = jnp.arange(n, dtype=jnp.float32)
+    got = expand_by_counts(xs, counts, n)
+    want = _oracle(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
