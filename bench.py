@@ -101,25 +101,30 @@ def _elapsed():
     return time.monotonic() - _T0
 
 
-def build_pf(n_particles: int, n_steps: int):
+def build_pf(n_particles: int, n_steps: int, state_dtype=jnp.float32):
     from genjax_tpu.inference.pf import particle_filter
 
     # Batched (array-level) model: one key per step, whole-ensemble ops —
     # the fast path (per-particle fold_in keys cost ~2x at 1M particles).
+    # ``state_dtype=jnp.bfloat16`` keeps the particle STATE in bf16
+    # (halves resample/propagate HBM traffic); log-weights and the
+    # dynamics accumulation stay f32 for logsumexp/cancellation safety
+    # (ROADMAP bf16 item; A/B in benchmarks/tpu_micro.py exp_bf16).
     def init(key):
         return (
-            jax.random.normal(key, (n_particles,)),
+            jax.random.normal(key, (n_particles,)).astype(state_dtype),
             jnp.zeros((n_particles,)),
         )
 
     def step(key, xs, y):
+        xf = xs.astype(jnp.float32)
         xs_new = (
-            0.5 * xs
-            + 25.0 * xs / (1.0 + xs * xs)
+            0.5 * xf
+            + 25.0 * xf / (1.0 + xf * xf)
             + jnp.sqrt(10.0) * jax.random.normal(key, (n_particles,))
         )
         lw = jax.scipy.stats.norm.logpdf(y, xs_new * xs_new / 20.0, 1.0)
-        return xs_new, lw
+        return xs_new.astype(state_dtype), lw
 
     pf = particle_filter(init, step, n_particles, batched=True)
     ys = jax.random.normal(jax.random.key(9), (n_steps,)) * 5.0

@@ -86,7 +86,7 @@ def config1_sir(small: bool):
 def config2_nuts(small: bool):
     """Hierarchical regression NUTS effective-samples/s.
 
-    Production-scale config (round 2): 32 data-parallel chains on a
+    Production-scale config (round 2): 256 data-parallel chains on a
     128-point likelihood — round 1 ran 4 chains x 20 points, leaving the
     chip latency-bound and slower than host CPU (VERDICT r1 item 3).
     The chain axis vmaps into one program; the identical program defines
@@ -109,7 +109,7 @@ def config2_nuts(small: bool):
         ) @ "ys"
 
     target = Target(reg, (xs,), g.C["ys"].set(ys))
-    chains = 32 if not small else 4
+    chains = 256 if not small else 4
     warm, samp = (200, 400) if not small else (50, 50)
 
     def run(k):
@@ -216,13 +216,13 @@ def config5_vi(small: bool):
     loss_grad = vi.ELBO(
         guide, lambda v: Target(model, (v,), g.C["y"].set(1.0))
     )
-    # Production-scale config (round 2): a sweep of B independent fits
+    # Production-scale config (round 2): a sweep of 512 independent fits
     # (vmapped), each step averaging an S-sample ELBO gradient — round
     # 1's single serial scalar fit was latency-bound and 100x slower
     # than host CPU (VERDICT r1 item 3). Uses the round-2 ADEV vmap
     # batching rules (flip_enum under vmap).
     steps = 100 if not small else 10
-    fits = 64 if not small else 4
+    fits = 512 if not small else 4
     elbo_samples = 8
 
     @jax.jit

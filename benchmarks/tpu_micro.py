@@ -195,6 +195,26 @@ def exp_blocked_expand(key):
     return out
 
 
+def exp_bf16(key):
+    """bf16 particle state vs f32 on the full tracking filter at 1M x 32
+    (weights stay f32): throughput each + |dlogz| accuracy check."""
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import bench as headline
+
+    out = {}
+    logzs = {}
+    for name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+        run, _ = headline.build_pf(N, 32, state_dtype=dt)
+        out[name] = scan_time(lambda k, run=run: run(k), key, reps=4)
+        logzs[name] = float(run(jax.random.key(123)))
+    print(f"# logz f32={logzs['f32']:.4f} bf16={logzs['bf16']:.4f} "
+          f"|d|={abs(logzs['bf16'] - logzs['f32']):.4f}")
+    return out
+
+
 def exp_op_floor(key):
     """Per-kernel overhead: k dependent elementwise ops on 1M f32 inside
     one jit — slope = per-op cost, intercept = dispatch floor."""

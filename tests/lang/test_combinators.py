@@ -22,6 +22,34 @@ def kernel(mu):
 
 
 class TestVmap:
+    def test_in_axes_validation(self):
+        """Mapped args must agree on the axis length and the axis must
+        exist (reference _static_broadcast_dim_length parity)."""
+        import pytest
+
+        @g.gen
+        def two(a, b):
+            return g.normal(a + b, 1.0) @ "x"
+
+        vm = two.vmap(in_axes=(0, 0))
+        with pytest.raises(ValueError, match="disagree"):
+            vm.simulate(KEY, (jnp.zeros(4), jnp.zeros(5)))
+        with pytest.raises(ValueError, match="out of bounds"):
+            two.vmap(in_axes=(1, None)).simulate(
+                KEY, (jnp.zeros(4), 0.0)
+            )
+        with pytest.raises(ValueError, match="entries for"):
+            two.vmap(in_axes=(0,)).simulate(
+                KEY, (jnp.zeros(4), jnp.zeros(4))
+            )
+        with pytest.raises(ValueError, match="axis_size=3"):
+            two.vmap(in_axes=(0, 0), axis_size=3).simulate(
+                KEY, (jnp.zeros(4), jnp.zeros(4))
+            )
+        # Consistent case still works.
+        tr = vm.simulate(KEY, (jnp.zeros(4), jnp.ones(4)))
+        assert tr.get_choices()[2, "x"] is not None
+
     def test_simulate_score_is_sum(self):
         vm = kernel.vmap(in_axes=0)
         mus = jnp.arange(4.0)
