@@ -1,6 +1,14 @@
-"""Utilities: checkpointing, pretty rendering, profiling hooks."""
+"""Utilities: checkpointing, failure recovery, pretty rendering,
+profiling hooks."""
 
 from genjax_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from genjax_tpu.utils.failure import (
+    ElasticResult,
+    FailureEvent,
+    Watchdog,
+    all_finite,
+    run_elastic,
+)
 from genjax_tpu.utils.pretty import (
     pformat,
     pretty,
@@ -10,6 +18,11 @@ from genjax_tpu.utils.pretty import (
 )
 
 __all__ = [
+    "ElasticResult",
+    "FailureEvent",
+    "Watchdog",
+    "all_finite",
+    "run_elastic",
     "pformat",
     "pretty",
     "pprint",

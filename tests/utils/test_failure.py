@@ -1,0 +1,180 @@
+"""Failure detection + elastic recovery (utils/failure.py).
+
+The recovery loop is exercised with a *transient* fault: the state
+carries a ``poison`` scalar that injects NaN at one global step; the
+test's ``place`` hook clears it on restore (modeling a fault that is
+gone after recovery — an SDC, a flaky chip, a bad host buffer).
+Elasticity: the restored state is re-placed onto HALF the mesh and the
+final result must match the uninterrupted full-mesh run bitwise
+(global-step-indexed fold_in keys make the trajectory layout- and
+restart-independent).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from genjax_tpu.utils.failure import (
+    Watchdog,
+    all_finite,
+    run_elastic,
+)
+
+KEY = jax.random.key(0)
+
+
+def _step(i, state):
+    """One SMC-flavored step: propagate particles with step-indexed
+    randomness (fold_in by GLOBAL index => restart-independent)."""
+    xs, poison = state
+    eps = jax.random.normal(jax.random.fold_in(KEY, i), xs.shape)
+    xs = 0.9 * xs + 0.1 * eps
+    # Transient fault: poison != 0 injects NaN at global step 5.
+    xs = xs + jnp.where((i == 5) & (poison != 0.0), jnp.nan, 0.0)
+    return xs, poison
+
+
+def _oracle(n_steps, xs0, tmp_path):
+    """The unfailed run, through the SAME chunked executable (eager
+    step-by-step replay differs in the last ulp from the fused scan —
+    the bitwise claim is restart-independence, not fusion-independence)."""
+    res = run_elastic(
+        _step, (xs0, jnp.zeros(())), n_steps,
+        ckpt_path=str(tmp_path / "oracle.npz"), chunk=4,
+    )
+    assert res.events == []
+    return res.state[0]
+
+
+class TestAllFinite:
+    def test_flags(self):
+        assert bool(all_finite({"a": jnp.ones(3), "b": 2.0}))
+        assert not bool(all_finite((jnp.ones(3), jnp.asarray(jnp.nan))))
+        # int leaves are ignored (isfinite undefined), not crashed on.
+        assert bool(all_finite(jnp.arange(3)))
+
+
+class TestWatchdog:
+    def test_expiry(self):
+        import time
+
+        with Watchdog(1e-9) as dog:
+            time.sleep(0.01)
+        assert dog.expired
+        with Watchdog(60.0) as dog:
+            pass
+        assert not dog.expired
+
+
+class TestRunElastic:
+    def test_transient_nan_recovers_bitwise(self, tmp_path):
+        xs0 = jax.random.normal(jax.random.key(1), (64,))
+        events_places = []
+
+        def place(state, devs):
+            events_places.append(len(devs))
+            xs, _ = state
+            return xs, jnp.zeros(())  # fault cleared on recovery
+
+        res = run_elastic(
+            _step, (xs0, jnp.ones(())), 16,
+            ckpt_path=str(tmp_path / "ck.npz"),
+            chunk=4, max_retries=2, place=place,
+        )
+        assert len(res.events) == 1
+        ev = res.events[0]
+        assert ev.kind == "nonfinite"
+        assert ev.step == 4 and ev.resumed_from == 4
+        # Replayed chunk: 16 productive + 0 counted for the failed chunk.
+        assert res.steps_run == 16
+        np.testing.assert_array_equal(
+            res.state[0], _oracle(16, xs0, tmp_path)
+        )
+
+    def test_elastic_downshift_half_mesh(self, tmp_path):
+        n_dev = len(jax.devices())
+        assert n_dev == 8  # conftest virtual mesh
+        full = Mesh(np.asarray(jax.devices()), ("p",))
+        half_devs = jax.devices()[: n_dev // 2]
+        half = Mesh(np.asarray(half_devs), ("p",))
+        xs0 = jax.device_put(
+            jax.random.normal(jax.random.key(2), (64,)),
+            NamedSharding(full, P("p")),
+        )
+
+        def place(state, devs):
+            xs, _ = state
+            xs = jax.device_put(xs, NamedSharding(half, P("p")))
+            return xs, jnp.zeros(())
+
+        res = run_elastic(
+            _step, (xs0, jnp.ones(())), 16,
+            ckpt_path=str(tmp_path / "ck.npz"),
+            chunk=4, max_retries=2,
+            devices=lambda: half_devs, place=place,
+        )
+        assert res.events[0].n_devices == n_dev // 2
+        # Post-recovery state lives on the surviving half-mesh...
+        assert set(res.state[0].sharding.device_set) == set(half_devs)
+        # ...and the trajectory is bitwise that of the unfailed run
+        # (full-mesh oracle vs half-mesh recovery: layout-independent).
+        np.testing.assert_array_equal(
+            np.asarray(res.state[0]),
+            np.asarray(_oracle(16, xs0, tmp_path)),
+        )
+
+    def test_persistent_failure_gives_up(self, tmp_path):
+        def bad_step(i, state):
+            raise ValueError("chip on fire")
+
+        with pytest.raises(RuntimeError, match="giving up"):
+            run_elastic(
+                bad_step, jnp.ones(4), 8,
+                ckpt_path=str(tmp_path / "ck.npz"),
+                chunk=4, max_retries=2,
+            )
+
+    def test_hang_deadline_detected(self, tmp_path):
+        with pytest.raises(RuntimeError, match="hang"):
+            run_elastic(
+                lambda i, s: s + 1.0, jnp.ones(4), 8,
+                ckpt_path=str(tmp_path / "ck.npz"),
+                chunk=4, max_retries=1, deadline=1e-12,
+            )
+
+    def test_checkpoint_cadence_and_resume_point(self, tmp_path):
+        """Fault at step 13 with checkpoints every 2 chunks (8 steps):
+        recovery resumes from step 8, replaying 8..13."""
+        xs0 = jax.random.normal(jax.random.key(3), (16,))
+
+        def step13(i, state):
+            xs, poison = state
+            xs = xs * 1.001
+            xs = xs + jnp.where((i == 13) & (poison != 0.0), jnp.nan, 0.0)
+            return xs, poison
+
+        def place(state, devs):
+            return state[0], jnp.zeros(())
+
+        res = run_elastic(
+            step13, (xs0, jnp.ones(())), 24,
+            ckpt_path=str(tmp_path / "ck.npz"),
+            chunk=4, checkpoint_every=2, max_retries=2, place=place,
+        )
+        assert res.events[0].step == 12
+        assert res.events[0].resumed_from == 8
+        np.testing.assert_allclose(
+            np.asarray(res.state[0]), np.asarray(xs0) * 1.001**24,
+            rtol=1e-5,
+        )
+
+    def test_no_failure_no_events(self, tmp_path):
+        xs0 = jnp.ones(8)
+        res = run_elastic(
+            lambda i, s: s * 2.0, xs0, 8,
+            ckpt_path=str(tmp_path / "ck.npz"), chunk=4,
+        )
+        assert res.events == []
+        np.testing.assert_array_equal(res.state, xs0 * 2.0**8)
