@@ -68,6 +68,10 @@ class SampleDistribution(Distribution):
     sample, and ``estimate_logpdf`` an unbiased density estimate (Lew et
     al. 2023, defns 3.1 / 3.2). Parity: reference ``sp.py:101-140``."""
 
+    # Values are ChoiceMaps: a nested constraint at a SampleDistribution
+    # site (C["site"].set(C[...].set(v))) IS the value.
+    chm_valued = True
+
 
 class Algorithm(SampleDistribution):
     """An approximate-inference strategy for a :class:`Target`, usable as a

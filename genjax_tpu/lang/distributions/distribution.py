@@ -95,11 +95,26 @@ class Distribution(GenerativeFunction[Any]):
     (Lew et al. 2023, defns 3.1/3.2 — reference ``distribution.py:90-115``.)
     """
 
+    #: True for distributions whose *value space is itself a ChoiceMap*
+    #: (e.g. ``inference.sp.SampleDistribution`` — marginals, algorithms).
+    #: Users naturally constrain such sites with a *nested* map
+    #: (``C["site"].set(C["value"].set(v))``), which arrives here as a
+    #: valueless submap; when this flag is set, the whole submap is the
+    #: constrained value.
+    chm_valued: bool = False
+
     @abc.abstractmethod
     def random_weighted(self, key: jax.Array, *args) -> tuple[Score, Any]: ...
 
     @abc.abstractmethod
     def estimate_logpdf(self, key: jax.Array, v: Any, *args) -> Score: ...
+
+    def _constraint_value(self, constraint: ChoiceMap):
+        """The constrained value at this site, or None if unconstrained."""
+        cv = constraint.get_value()
+        if cv is None and self.chm_valued and not constraint.static_is_empty():
+            return constraint
+        return cv
 
     def get_support(self, *args):
         """Support metadata for gradient-based samplers (automatic
@@ -116,7 +131,7 @@ class Distribution(GenerativeFunction[Any]):
         return DistributionTrace(self, args, v, score)
 
     def assess(self, chm: ChoiceMap, args: tuple):
-        v = chm.get_value()
+        v = self._constraint_value(chm)
         if v is None:
             raise ValueError(
                 f"{self}: assess requires a value choice at the root."
@@ -139,7 +154,7 @@ class Distribution(GenerativeFunction[Any]):
         return score, v
 
     def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
-        cv = constraint.get_value()
+        cv = self._constraint_value(constraint)
         if cv is None:
             tr = self.simulate(key, args)
             return tr, jnp.zeros(())
@@ -191,7 +206,7 @@ class Distribution(GenerativeFunction[Any]):
         ``distribution.py:179-244``."""
         old_v = trace.get_retval()
         old_score = trace.get_score()
-        cv = constraint.get_value()
+        cv = self._constraint_value(constraint)
 
         if cv is None:
             if args_unchanged:

@@ -6,8 +6,9 @@ import sys
 
 import pytest
 
-EXAMPLES = sorted(
-    (pathlib.Path(__file__).parents[2] / "docs" / "examples").glob("*.py")
+_DOCS = pathlib.Path(__file__).parents[2] / "docs"
+EXAMPLES = sorted((_DOCS / "examples").glob("*.py")) + sorted(
+    (_DOCS / "cookbook").glob("*.py")
 )
 
 

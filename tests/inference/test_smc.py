@@ -197,3 +197,52 @@ class TestMarginalWithAlgorithm:
         want = sbeta(2, 2).logpdf(0.3)
         got = jax.scipy.special.logsumexp(est) - jnp.log(len(est))
         assert jnp.abs(got - want) < 5e-2
+
+
+class TestMarginalAsSite:
+    """A Marginal (chm-valued SampleDistribution) used at an `@ addr` site
+    inside another model: nested constraints must be honored and the outer
+    logZ must equal the inner marginal density (stochastic probabilities;
+    reference `docs/cookbook/inactive/expressivity/stochastic_probabilities.ipynb`)."""
+
+    def _outer(self):
+        @g.gen
+        def mixture():
+            hot = g.flip(0.3) @ "hot"
+            mu = jnp.where(hot, 4.0, 0.0)
+            return g.normal(mu, 1.0) @ "value"
+
+        value_dist = mixture.marginal(selection=g.S.at["value"])
+
+        @g.gen
+        def outer(shift):
+            r = value_dist() @ "reading"
+            return r["value"] + shift
+
+        return outer
+
+    def test_nested_constraint_is_honored(self):
+        outer = self._outer()
+        obs = g.C["reading"].set(g.C["value"].set(1.0))
+        tr, w = outer.generate(KEY, obs, (1.0,))
+        # Constraint must actually bind (bug r2: valueless submap was
+        # silently ignored -> weight 0, prior draw retained).
+        assert jnp.allclose(tr.get_retval(), 2.0)
+        assert float(w) != 0.0
+
+    def test_outer_logz_matches_closed_form(self):
+        outer = self._outer()
+        v = 1.0
+        obs = g.C["reading"].set(g.C["value"].set(v))
+        keys = jax.random.split(KEY, 2000)
+        _, ws = jax.jit(
+            jax.vmap(lambda k: outer.generate(k, obs, (1.0,)))
+        )(keys)
+        logz = jax.scipy.special.logsumexp(ws) - jnp.log(len(ws))
+        import jax.scipy.stats as jss
+
+        closed = jnp.log(
+            0.7 * jnp.exp(jss.norm.logpdf(v, 0.0, 1.0))
+            + 0.3 * jnp.exp(jss.norm.logpdf(v, 4.0, 1.0))
+        )
+        assert jnp.abs(logz - closed) < 5e-2
