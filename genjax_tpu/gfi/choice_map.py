@@ -411,6 +411,12 @@ class Indexed(ChoiceMap):
         if isinstance(comp, slice):
             if idx.ndim == 0:
                 return self
+            if comp == slice(None) and self.idx is None:
+                # Full slice of canonical lanes: expose the stacked
+                # choices directly, so ``chm[:, "z"]`` reads all lanes
+                # as one array (ergonomics parity with per-lane
+                # ``chm[i, "z"]``).
+                return self.inner
             sliced = _lane_slice(self.inner, comp, n)
             return Indexed(sliced, idx[comp])
         comp = jnp.asarray(comp)

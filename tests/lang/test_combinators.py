@@ -50,6 +50,16 @@ class TestVmap:
         tr = vm.simulate(KEY, (jnp.zeros(4), jnp.ones(4)))
         assert tr.get_choices()[2, "x"] is not None
 
+    def test_full_slice_reads_stacked_lanes(self):
+        """``chm[:, "z"]`` exposes all lanes as one stacked array
+        (canonical-lane Indexed nodes only)."""
+        vm = kernel.vmap(in_axes=0)
+        tr = vm.simulate(KEY, (jnp.arange(4.0),))
+        chm = tr.get_choices()
+        stacked = chm[:, "x"]
+        assert stacked.shape == (4,)
+        assert jnp.array_equal(stacked[2], chm[2, "x"])
+
     def test_simulate_score_is_sum(self):
         vm = kernel.vmap(in_axes=0)
         mus = jnp.arange(4.0)

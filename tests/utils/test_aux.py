@@ -114,9 +114,66 @@ class TestPretty:
     def test_render_html(self):
         chm = g.C["a"].set(1.0) | g.C["b", "c"].set(jnp.ones(3))
         html = render_html(chm)
-        assert html.startswith("<pre>") and "a" in html
+        assert "<details" in html and "&#x27;a&#x27;" in html
+
+    def test_render_html_sparkline_and_stats(self):
+        chm = g.C["xs"].set(jnp.linspace(-1.0, 1.0, 64))
+        html = render_html(chm)
+        assert "<svg" in html            # 1-D arrays get a sparkline
+        assert "float32[64]" in html     # stats chip
 
     def test_pformat_choice_map_nested(self):
         chm = g.C["outer", "inner"].set(2.0)
         s = pformat(chm)
         assert "'outer'" in s and "'inner'" in s
+
+    def test_switch_active_branch_annotation(self):
+        """Scalar idx marks the live branch; array idx reports per-branch
+        lane occupancy (the VERDICT r1 'vmapped Switch' rendering gap)."""
+        from genjax_tpu.gfi.choice_map import Switch
+
+        b0 = g.C["x"].set(1.0)
+        b1 = g.C["y"].set(2.0)
+        s = pformat(Switch(jnp.asarray(1), (b0, b1)))
+        assert "branch 1: ← active" in s and "branch 0: (inactive)" in s
+        s_vm = pformat(Switch(jnp.asarray([0, 1, 1, 1]), (b0, b1)))
+        assert "(1/4 lanes)" in s_vm and "(3/4 lanes)" in s_vm
+        html = render_html(Switch(jnp.asarray(1), (b0, b1)))
+        assert "active" in html
+
+    def test_mask_lane_occupancy(self):
+        from genjax_tpu.gfi.mask import Mask
+
+        chm = g.C["m"].set(Mask(jnp.arange(4.0),
+                                jnp.asarray([True, False, True, True])))
+        s = pformat(chm)
+        assert "active 3/4 lanes" in s
+        chm_off = g.C["m"].set(Mask(1.0, jnp.asarray(False)))
+        assert "INACTIVE" in pformat(chm_off)
+
+    def test_pformat_tracer_safe(self):
+        """pformat inside jit must not force abstract values."""
+        out = []
+
+        @jax.jit
+        def f(x):
+            out.append(pformat(g.C["x"].set(x * 2.0)))
+            return x
+
+        f(jnp.ones(8))
+        assert "Tracer" in out[0]
+
+    def test_pretty_installs_repr_html(self):
+        from genjax_tpu.utils.pretty import pretty
+
+        pretty()
+
+        @g.gen
+        def model():
+            return g.normal(0.0, 1.0) @ "x"
+
+        tr = model.simulate(KEY, ())
+        h = tr._repr_html_()
+        assert "<details" in h and "score" in h
+        chm = g.C["a"].set(1.0)
+        assert "<details" in chm._repr_html_()
