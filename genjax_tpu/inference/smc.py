@@ -105,15 +105,42 @@ def _sorted_searchsorted(cum: jax.Array, us: jax.Array) -> jax.Array:
     return jnp.clip(routed[:n].astype(jnp.int32), 0, k - 1)
 
 
+def systematic_offspring_cumulative(key: jax.Array,
+                                    log_weights: jax.Array,
+                                    n: int) -> jax.Array:
+    """Inclusive cumulative offspring counts of systematic resampling,
+    in closed form from the weight CDF (no ancestor indices
+    materialized). ``counts_cum[i] = #dests assigned to particles 0..i``;
+    per-particle counts are its first difference, and the blocked
+    interval expansion (``ops/resample.py``) consumes it directly (it IS
+    the interval-end array — no second 1M cumsum).
+
+    The final entry is pinned to exactly ``n``: mathematically
+    ``ceil(n·1 − u0) = n`` for ``u0 ∈ (0, 1)``, but f32 cumsum rounding
+    at large K otherwise loses dests (measured at 2^20: the raw
+    cumulative lands at ``n−1`` for ~25% of seeds, silently leaving the
+    last dest unfilled)."""
+    cum = jnp.cumsum(jnp.exp(log_weights - jnp.max(log_weights)))
+    # XLA's pairwise cumsum is not monotone at the ulp level (different
+    # association per prefix), and a 1-ulp dip here becomes a -1/+1
+    # count pair — a dest assigned to TWO sources in the interval
+    # expansion. cummax restores the nondecreasing invariant exactly
+    # (on f32, where the scan is ~2x cheaper than on int32; monotone
+    # cum → monotone ceil/clip downstream).
+    cum = jax.lax.cummax(cum)
+    u0 = jax.random.uniform(key, ())
+    scale = n / cum[-1]
+    counts_cum = jnp.clip(
+        jnp.ceil(cum * scale - u0), 0, n
+    ).astype(jnp.int32)
+    return counts_cum.at[-1].set(n)
+
+
 def systematic_offspring_counts(key: jax.Array, log_weights: jax.Array,
                                 n: int) -> jax.Array:
-    """Per-particle offspring counts of systematic resampling, in closed
-    form from the weight CDF (no ancestor indices materialized)."""
-    cum = jnp.cumsum(jax.nn.softmax(log_weights))
-    u0 = jax.random.uniform(key, ())
-    counts_cum = jnp.clip(
-        jnp.ceil(n * cum - u0), 0, n
-    ).astype(jnp.int32)
+    """Per-particle offspring counts of systematic resampling (first
+    difference of :func:`systematic_offspring_cumulative`)."""
+    counts_cum = systematic_offspring_cumulative(key, log_weights, n)
     return jnp.diff(
         jnp.concatenate([jnp.zeros(1, jnp.int32), counts_cum])
     )
@@ -143,7 +170,7 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
                 tree,
             )
         from genjax_tpu.ops.resample import (
-            expand_by_counts,
+            expand_by_cumulative,
             supports_fast_expand,
         )
 
@@ -151,8 +178,10 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
         if supports_fast_expand(k, n) and all(
             jnp.ndim(l) >= 1 and jnp.shape(l)[0] == k for l in leaves
         ):
-            counts = systematic_offspring_counts(key, log_weights, n)
-            return expand_by_counts(tree, counts, n)
+            counts_cum = systematic_offspring_cumulative(
+                key, log_weights, n
+            )
+            return expand_by_cumulative(tree, counts_cum, n)
     idx = resample_indices(key, log_weights, n, method)
     return jtu.tree_map(lambda v: v[idx], tree)
 
@@ -167,15 +196,14 @@ def resample_indices(key: jax.Array, log_weights: jax.Array, n: int,
     closed form; ``stratified`` and ``multinomial`` use sorted uniforms +
     a single merge-rank sort."""
     k = log_weights.shape[0]
+    if method == "systematic":
+        # #{i : (u0 + i)/n < cum_k} = ceil(n·cum_k − u0), exact tail
+        # (see systematic_offspring_cumulative).
+        counts_cum = systematic_offspring_cumulative(key, log_weights, n)
+        return _ancestors_from_counts(counts_cum, n)
     norm = jax.nn.softmax(log_weights)
     cum = jnp.cumsum(norm)
-    if method == "systematic":
-        u0 = jax.random.uniform(key, ())
-        # #{i : (u0 + i)/n < cum_k} = ceil(n·cum_k − u0).
-        counts_cum = jnp.ceil(n * cum - u0).astype(jnp.int32)
-        counts_cum = jnp.clip(counts_cum, 0, n)
-        return _ancestors_from_counts(counts_cum, n)
-    elif method == "stratified":
+    if method == "stratified":
         us = (jax.random.uniform(key, (n,)) + jnp.arange(n)) / n
         return _sorted_searchsorted(cum, us)
     elif method == "multinomial":

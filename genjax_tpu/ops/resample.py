@@ -43,7 +43,8 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 from jax import lax
 
-__all__ = ["expand_by_counts", "supports_fast_expand"]
+__all__ = ["expand_by_counts", "expand_by_cumulative",
+           "supports_fast_expand"]
 
 
 def supports_fast_expand(n_src: int, n_dest: int, lanes: int = 128,
@@ -64,10 +65,24 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
     """``tree_map(lambda v: jnp.repeat(v, counts, total_repeat_length=n),
     tree)`` — bitwise the same dest layout — via blocked interval
     expansion (module docstring). ``counts`` must sum to ``n`` and every
-    leaf's leading dim must equal ``n`` (== source count).
-    """
+    leaf's leading dim must equal ``n`` (== source count)."""
+    return expand_by_cumulative(
+        tree, jnp.cumsum(counts).astype(jnp.int32), n,
+        lanes=lanes, rows_per_block=rows_per_block, margin=margin,
+    )
+
+
+def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
+                         lanes: int = 128, rows_per_block: int = 1,
+                         margin: int = 3):
+    """Blocked interval expansion from the INCLUSIVE cumulative count
+    array (``counts_cum[i]`` = end of source ``i``'s dest interval).
+    Systematic resampling produces this directly from the weight CDF
+    (``smc.systematic_offspring_cumulative``), so taking it here skips a
+    second length-``n`` cumsum per resample. ``counts_cum`` must be
+    nondecreasing with ``counts_cum[-1] == n``."""
     leaves, treedef = jtu.tree_flatten(tree)
-    assert leaves, "expand_by_counts: empty tree"
+    assert leaves, "expand_by_cumulative: empty tree"
     assert all(l.shape[0] == n for l in leaves)
 
     L = lanes
@@ -77,12 +92,12 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
     D = n // B
     W = R + margin  # slab rows per iteration window
 
-    c_inc = jnp.cumsum(counts).astype(jnp.int32)          # (N,) ends
-    c_st = c_inc - counts                                  # (N,) starts
+    c_inc = counts_cum.astype(jnp.int32)                  # (N,) ends
     ends2 = c_inc.reshape(G, L)
-    starts2 = c_st.reshape(G, L)
     rowend = ends2[:, -1]
-    rowstart = starts2[:, 0]
+    rowstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), rowend[:-1]]
+    )
     nonempty = rowend > rowstart
 
     # Index-space compaction: nonempty rows first, original order kept
@@ -93,20 +108,23 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
     # Padding (ex-empty) rows get the terminal interval [n, n): they
     # contribute nothing and certify coverage, so the loop terminates.
     rowend_c = jnp.where(pad_k, n, rowend[order])          # (G,) sorted
-    # Pad with W extra terminal rows so in-loop dynamic slices never
-    # clamp (a clamped slice would re-read — and re-accumulate — rows).
-    rowend_cp = jnp.concatenate(
-        [rowend_c, jnp.full((W,), n, jnp.int32)]
-    )
-    order_p = jnp.concatenate([order, jnp.zeros((W,), order.dtype)])
-    ends_cp = jnp.where(pad_k[:, None], n, ends2[order])
-    ends_cp = jnp.concatenate(
-        [ends_cp, jnp.full((W, L), n, jnp.int32)]
-    )
-    starts_cp = jnp.where(pad_k[:, None], n, starts2[order])
-    starts_cp = jnp.concatenate(
-        [starts_cp, jnp.full((W, L), n, jnp.int32)]
-    )
+    ends_c = jnp.where(pad_k[:, None], n, ends2[order])    # (G, L)
+
+    # Ends-only slab source with a leading all-zero SENTINEL row.
+    # Profiled round 2: the separate (D, W) element gathers of the
+    # rowend/starts/order arrays cost ~0.23 ms each at 1M (the
+    # element-gather floor), and widening rows past 128 lanes breaks
+    # (8,128) tiling. Instead: gather W+1 aligned rows starting one row
+    # EARLY; the last lane of the early row is the window's start
+    # boundary, and row ends / the done-check fall out of the last lane
+    # for free.
+    comb = jnp.concatenate([
+        jnp.zeros((1, L), jnp.int32),                      # sentinel
+        ends_c,
+        # W terminal pad rows so in-loop slab indices never clamp (a
+        # clamped gather would re-read — and re-accumulate — rows).
+        jnp.full((W, L), n, jnp.int32),
+    ])                                                     # (1+G+W, L)
 
     # First compacted row of each dest block: the row whose interval
     # contains dest j0 = b·B (rowend_c is nondecreasing).
@@ -117,41 +135,66 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
 
     js = block_lo[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
 
-    rows2 = [l.reshape((G, L) + l.shape[1:]) for l in leaves]
-
-    def slab(arr, k):
-        """(D, W, ...) window rows arr[k_b : k_b + W] for every block —
-        a whole-row gather (the fast primitive)."""
-        idx = k[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-        return arr[idx]
+    # Values as INTEGER BIT PATTERNS, pre-gathered into compacted row
+    # order once per call (removes the per-iteration order element
+    # gather). Bit patterns make the suffix-difference contraction below
+    # exact: int adds/subs telescope exactly (mod 2^k), where float
+    # telescoping would reintroduce rounding.
+    bits = []
+    for l in leaves:
+        if l.dtype == jnp.bool_:
+            bl = l.astype(jnp.int8)
+        elif l.dtype.itemsize == 1:
+            bl = lax.bitcast_convert_type(l, jnp.int8)
+        elif l.dtype.itemsize == 2:
+            bl = lax.bitcast_convert_type(l, jnp.int16)
+        else:  # 4- and 8-byte dtypes (8-byte gains a trailing pair dim)
+            bl = lax.bitcast_convert_type(l, jnp.int32)
+        r2 = bl.reshape((G, L) + bl.shape[1:])
+        rc = r2[order]                                     # (G, L, E…)
+        rc = jnp.concatenate(
+            [rc, jnp.zeros((W,) + rc.shape[1:], rc.dtype)]
+        )                                                  # (G+W, L, E…)
+        bits.append(rc)
 
     def body(state):
         k, covered, accs = state
         live = jnp.logical_not(covered)                    # (D,)
-        st = slab(starts_cp, k).reshape(D, W * L)          # (D, WL)
-        en = slab(ends_cp, k).reshape(D, W * L)
-        # Membership: dest j is owned by source i iff st_i <= j < en_i.
-        m = (
-            (st[:, None, :] <= js[:, :, None])
-            & (js[:, :, None] < en[:, None, :])
-            & live[:, None, None]
-        )                                                  # (D, B, WL)
-        src_rows = slab(order_p, k)                        # (D, W)
+        # Rows k-1 .. k+W-1 of the sentinel-shifted comb (compacted row
+        # i lives at comb[i+1], so the slab index is just k + arange).
+        idxe = k[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+        eslab = comb[idxe].reshape(D, (W + 1) * L)         # (D, (W+1)L)
+        en = eslab[:, L:]                                  # (D, WL)
+        winstart = eslab[:, L - 1]                         # (D,)
+        # Deactivated dests (covered block, or owner before this window
+        # — already accumulated) get the sentinel j = n, which matches
+        # no suffix (all ends <= n).
+        valid = live[:, None] & (js >= winstart[:, None])
+        js_eff = jnp.where(valid, js, n)                   # (D, B)
+        # Suffix-difference contraction. Ownership of dest j is "first
+        # i with en_i > j" (ends are nondecreasing; empty intervals
+        # share their predecessor's end so they are never first). With
+        # w_i = v_i − v_{i+1} (and w_last = v_last), the masked sum
+        #   Σ_i [j < en_i] · w_i  =  v_{owner}
+        # telescopes EXACTLY in integer bit-pattern arithmetic — one
+        # compare per candidate instead of the two-sided interval test.
+        suf = js_eff[:, :, None] < en[:, None, :]          # (D, B, WL)
+        idxo = k[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         new_accs = []
-        for rows, acc in zip(rows2, accs):
-            vals = rows[src_rows]                          # (D, W, L, E…)
-            vals = vals.reshape((D, 1, W * L) + vals.shape[3:])
-            mm = m.reshape(m.shape + (1,) * (vals.ndim - 3))
-            if vals.dtype == jnp.bool_:
-                contrib = jnp.any(jnp.logical_and(mm, vals), axis=2)
-                new_accs.append(jnp.logical_or(acc, contrib))
-            else:
-                contrib = jnp.sum(
-                    jnp.where(mm, vals, jnp.zeros((), vals.dtype)),
-                    axis=2,
-                )                                          # (D, B, E…)
-                new_accs.append(acc + contrib)
-        done = slab(rowend_cp, k)[:, -1] >= (block_lo + B)  # (D,)
+        for rc, acc in zip(bits, accs):
+            vals = rc[idxo]                                # (D, W, L, E…)
+            flat = vals.reshape((D, W * L) + vals.shape[3:])
+            shifted = jnp.concatenate(
+                [flat[:, 1:], jnp.zeros_like(flat[:, :1])], axis=1
+            )
+            w = flat - shifted                             # w_i = v_i − v_{i+1}
+            mm = suf.reshape(suf.shape + (1,) * (w.ndim - 2))
+            contrib = jnp.sum(
+                jnp.where(mm, w[:, None], jnp.zeros((), w.dtype)),
+                axis=2, dtype=w.dtype,
+            )                                              # (D, B, E…): mod-2^k sum
+            new_accs.append(acc + contrib)
+        done = en[:, -1] >= (block_lo + B)                 # (D,)
         return (
             jnp.where(covered, k, k + W),
             covered | done,
@@ -163,12 +206,18 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
         return jnp.logical_not(jnp.all(covered))
 
     accs0 = tuple(
-        jnp.zeros((D, B) + l.shape[1:], l.dtype) for l in leaves
+        jnp.zeros((D, B) + rc.shape[2:], rc.dtype) for rc in bits
     )
     _, _, accs = lax.while_loop(
         cond, body, (k0, jnp.zeros((D,), bool), accs0)
     )
-    out_leaves = [
-        a.reshape((n,) + l.shape[1:]) for a, l in zip(accs, leaves)
-    ]
+    out_leaves = []
+    for a, l in zip(accs, leaves):
+        flat = a.reshape((n,) + a.shape[2:])
+        if l.dtype == jnp.bool_:
+            out_leaves.append(flat.astype(jnp.bool_))
+        elif flat.dtype != l.dtype:
+            out_leaves.append(lax.bitcast_convert_type(flat, l.dtype))
+        else:
+            out_leaves.append(flat)
     return jtu.tree_unflatten(treedef, out_leaves)

@@ -103,3 +103,33 @@ def test_block_boundary_runs():
     got = expand_by_counts(xs, counts, n)
     want = _oracle(xs, counts, n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cumulative_tail_exact_at_1m():
+    """f32 cumsum rounding at 2^20 used to drop the final dest for ~25%
+    of seeds (sum(counts) == n-1): the cumulative's last entry is pinned
+    to exactly n (= ceil(n·1 − u0) analytically)."""
+    from genjax_tpu.inference.smc import systematic_offspring_cumulative
+
+    n = 1 << 20
+    for seed in range(4):
+        k = jax.random.key(seed)
+        lw = jax.random.normal(k, (n,)) * 2.0
+        cc = systematic_offspring_cumulative(k, lw, n)
+        assert int(cc[-1]) == n
+        counts = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), cc]))
+        assert int(counts.sum()) == n
+        assert int(counts.min()) >= 0
+
+
+def test_expand_by_cumulative_matches_counts_path():
+    n = N
+    logw = jax.random.normal(KEY, (n,)) * 2.0
+    counts = _counts_from_logw(KEY, logw, n)
+    cc = jnp.cumsum(counts).astype(jnp.int32)
+    xs = jax.random.normal(jax.random.key(7), (n,))
+    from genjax_tpu.ops.resample import expand_by_cumulative
+
+    got = expand_by_cumulative(xs, cc, n)
+    want = _oracle(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
