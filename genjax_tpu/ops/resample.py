@@ -167,10 +167,19 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         en = eslab[:, L:]                                  # (D, WL)
         winstart = eslab[:, L - 1]                         # (D,)
         # Deactivated dests (covered block, or owner before this window
-        # — already accumulated) get the sentinel j = n, which matches
-        # no suffix (all ends <= n).
+        # — already accumulated) get the sentinel j = B, which matches
+        # no suffix (relative ends are clamped to B).
         valid = live[:, None] & (js >= winstart[:, None])
-        js_eff = jnp.where(valid, js, n)                   # (D, B)
+        js_rel = jnp.where(
+            valid, js - block_lo[:, None], B
+        ).astype(jnp.int16)                                # (D, B)
+        # Block-RELATIVE clamped ends: j < en ≡ j_rel < min(en−lo, B)
+        # for j_rel < B (ends of this block's window are ≥ block_lo, and
+        # any end beyond the block clamps to B > j_rel). B = R·128 fits
+        # int16, so the hot compare below runs at double VPU width.
+        en_rel = jnp.clip(
+            en - block_lo[:, None], 0, B
+        ).astype(jnp.int16)                                # (D, WL)
         # Suffix-difference contraction. Ownership of dest j is "first
         # i with en_i > j" (ends are nondecreasing; empty intervals
         # share their predecessor's end so they are never first). With
@@ -178,7 +187,7 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         #   Σ_i [j < en_i] · w_i  =  v_{owner}
         # telescopes EXACTLY in integer bit-pattern arithmetic — one
         # compare per candidate instead of the two-sided interval test.
-        suf = js_eff[:, :, None] < en[:, None, :]          # (D, B, WL)
+        suf = js_rel[:, :, None] < en_rel[:, None, :]      # (D, B, WL)
         idxo = k[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         new_accs = []
         for rc, acc in zip(bits, accs):
