@@ -86,9 +86,12 @@ def config1_sir(small: bool):
 def config2_nuts(small: bool):
     """Hierarchical regression NUTS effective-samples/s.
 
-    Production-scale config (round 2): 256 data-parallel chains on a
+    Production-scale config (round 2): 1024 data-parallel chains on a
     128-point likelihood — round 1 ran 4 chains x 20 points, leaving the
-    chip latency-bound and slower than host CPU (VERDICT r1 item 3).
+    chip latency-bound and slower than host CPU (VERDICT r1 item 3); a
+    chain-scaling sweep (256→4096) showed 1024 chains run in the same
+    wall time as 256 on the v5e (tiny per-chain state; the chip is
+    latency-bound until ~2048 chains), quadrupling eff-samples/s.
     The chain axis vmaps into one program; the identical program defines
     the CPU baseline."""
     import numpy as np
@@ -109,7 +112,7 @@ def config2_nuts(small: bool):
         ) @ "ys"
 
     target = Target(reg, (xs,), g.C["ys"].set(ys))
-    chains = 256 if not small else 4
+    chains = 1024 if not small else 4
     warm, samp = (200, 400) if not small else (50, 50)
 
     def run(k):
