@@ -23,13 +23,21 @@ scatter at all**:
    per iteration window) so weight degeneracy cannot stretch a run.
 3. For each dest block (``R`` rows = ``B = 128·R`` dests), gather a slab
    of ``W`` candidate compacted source rows — whole-row DMA traffic —
-   and select by interval membership: ``(start_i <= j) & (j < end_i)``,
-   a VPU compare mask contracted against the slab values. Exactly one
-   source interval contains each dest, so the contraction IS the
-   expansion.
-4. A global ``lax.while_loop`` advances the (rare) blocks whose run is
-   longer than ``W`` rows; typical filters cover every block in one
-   window (run length ≈ R+1 rows).
+   and select by suffix membership: exactly one source interval
+   contains each dest, and the suffix-difference contraction (see the
+   window pass below) recovers its value with ONE compare per
+   candidate.
+4. **Straggler compaction** (round-2 rework of the original global
+   ``lax.while_loop``): pass 1 runs ONE unconditional window over every
+   block — enough for any block whose run fits ``W`` rows (the typical
+   case for all blocks). The rare blocks spanning more rows (weight
+   degeneracy spreading a block's dests over many thinly-populated
+   rows) are *compacted* into batches of ``straggler_batch`` block
+   slots and redone from scratch with wider windows — so a handful of
+   stragglers costs a ``S·B``-sized loop, not a rerun of the full
+   ``n``-sized contraction. (Profiled on-chip: the global while
+   averaged 1.48 full-size iterations because ~half of resamples had
+   at least one straggler block.)
 
 No reference counterpart: the reference (CUDA/torch) resamples with
 ``torch.gather``; this layout-aware formulation exists because of the
@@ -61,7 +69,8 @@ def supports_fast_expand(n_src: int, n_dest: int, lanes: int = 128,
 
 def expand_by_counts(tree, counts: jax.Array, n: int, *,
                      lanes: int = 128, rows_per_block: int = 1,
-                     margin: int = 3):
+                     margin: int = 3, straggler_margin: int = 15,
+                     straggler_batch: int = 256):
     """``tree_map(lambda v: jnp.repeat(v, counts, total_repeat_length=n),
     tree)`` — bitwise the same dest layout — via blocked interval
     expansion (module docstring). ``counts`` must sum to ``n`` and every
@@ -69,18 +78,26 @@ def expand_by_counts(tree, counts: jax.Array, n: int, *,
     return expand_by_cumulative(
         tree, jnp.cumsum(counts).astype(jnp.int32), n,
         lanes=lanes, rows_per_block=rows_per_block, margin=margin,
+        straggler_margin=straggler_margin,
+        straggler_batch=straggler_batch,
     )
 
 
 def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
                          lanes: int = 128, rows_per_block: int = 1,
-                         margin: int = 3):
+                         margin: int = 3, straggler_margin: int = 15,
+                         straggler_batch: int = 256):
     """Blocked interval expansion from the INCLUSIVE cumulative count
     array (``counts_cum[i]`` = end of source ``i``'s dest interval).
     Systematic resampling produces this directly from the weight CDF
     (``smc.systematic_offspring_cumulative``), so taking it here skips a
     second length-``n`` cumsum per resample. ``counts_cum`` must be
-    nondecreasing with ``counts_cum[-1] == n``."""
+    nondecreasing with ``counts_cum[-1] == n``.
+
+    ``margin`` sets pass-1's window (``W1 = rows_per_block + margin``
+    slab rows per block); ``straggler_margin`` the redo window for
+    blocks pass 1 could not cover; ``straggler_batch`` how many such
+    blocks one redo iteration processes."""
     leaves, treedef = jtu.tree_flatten(tree)
     assert leaves, "expand_by_cumulative: empty tree"
     assert all(l.shape[0] == n for l in leaves)
@@ -90,7 +107,10 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
     R = rows_per_block
     B = R * L
     D = n // B
-    W = R + margin  # slab rows per iteration window
+    W1 = R + margin                      # pass-1 slab rows per block
+    W2 = R + straggler_margin            # straggler redo slab rows
+    Wp = max(W1, W2)                     # comb/value pad rows
+    S = min(straggler_batch, D)
 
     c_inc = counts_cum.astype(jnp.int32)                  # (N,) ends
     ends2 = c_inc.reshape(G, L)
@@ -106,7 +126,8 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
     k_live = jnp.sum(nonempty)
     pad_k = jnp.arange(G) >= k_live
     # Padding (ex-empty) rows get the terminal interval [n, n): they
-    # contribute nothing and certify coverage, so the loop terminates.
+    # contribute nothing and certify coverage, so every block's window
+    # sequence terminates.
     rowend_c = jnp.where(pad_k, n, rowend[order])          # (G,) sorted
     ends_c = jnp.where(pad_k[:, None], n, ends2[order])    # (G, L)
 
@@ -121,10 +142,10 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
     comb = jnp.concatenate([
         jnp.zeros((1, L), jnp.int32),                      # sentinel
         ends_c,
-        # W terminal pad rows so in-loop slab indices never clamp (a
-        # clamped gather would re-read — and re-accumulate — rows).
-        jnp.full((W, L), n, jnp.int32),
-    ])                                                     # (1+G+W, L)
+        # Wp terminal pad rows so slab indices never clamp (a clamped
+        # gather would re-read — and re-accumulate — rows).
+        jnp.full((Wp, L), n, jnp.int32),
+    ])                                                     # (1+G+Wp, L)
 
     # First compacted row of each dest block: the row whose interval
     # contains dest j0 = b·B (rowend_c is nondecreasing).
@@ -132,8 +153,6 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
     k0 = jnp.sum(
         rowend_c[None, :] <= block_lo[:, None], axis=1
     ).astype(jnp.int32)                                    # (D,)
-
-    js = block_lo[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
 
     # Values as INTEGER BIT PATTERNS, pre-gathered into compacted row
     # order once per call (removes the per-iteration order element
@@ -153,33 +172,39 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         r2 = bl.reshape((G, L) + bl.shape[1:])
         rc = r2[order]                                     # (G, L, E…)
         rc = jnp.concatenate(
-            [rc, jnp.zeros((W,) + rc.shape[1:], rc.dtype)]
-        )                                                  # (G+W, L, E…)
+            [rc, jnp.zeros((Wp,) + rc.shape[1:], rc.dtype)]
+        )                                                  # (G+Wp, L, E…)
         bits.append(rc)
 
-    def body(state):
-        k, covered, accs = state
-        live = jnp.logical_not(covered)                    # (D,)
+    def window(lo, js, k, covered, accs, W):
+        """One slab window over an arbitrary set of blocks.
+
+        ``lo``: (M,) first dest of each block; ``js``: (M, B) dest
+        indices; ``k``: (M,) current compacted row; ``covered``: (M,)
+        done flags; ``accs``: per-leaf (M, B, E…) accumulators. Returns
+        the advanced state. Already-covered blocks are inert (mask
+        only; their slab reads still execute at in-range indices)."""
+        live = jnp.logical_not(covered)                    # (M,)
         # Rows k-1 .. k+W-1 of the sentinel-shifted comb (compacted row
         # i lives at comb[i+1], so the slab index is just k + arange).
         idxe = k[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
-        eslab = comb[idxe].reshape(D, (W + 1) * L)         # (D, (W+1)L)
-        en = eslab[:, L:]                                  # (D, WL)
-        winstart = eslab[:, L - 1]                         # (D,)
+        eslab = comb[idxe].reshape(-1, (W + 1) * L)        # (M, (W+1)L)
+        en = eslab[:, L:]                                  # (M, WL)
+        winstart = eslab[:, L - 1]                         # (M,)
         # Deactivated dests (covered block, or owner before this window
         # — already accumulated) get the sentinel j = B, which matches
         # no suffix (relative ends are clamped to B).
         valid = live[:, None] & (js >= winstart[:, None])
         js_rel = jnp.where(
-            valid, js - block_lo[:, None], B
-        ).astype(jnp.int16)                                # (D, B)
+            valid, js - lo[:, None], B
+        ).astype(jnp.int16)                                # (M, B)
         # Block-RELATIVE clamped ends: j < en ≡ j_rel < min(en−lo, B)
         # for j_rel < B (ends of this block's window are ≥ block_lo, and
         # any end beyond the block clamps to B > j_rel). B = R·128 fits
         # int16, so the hot compare below runs at double VPU width.
         en_rel = jnp.clip(
-            en - block_lo[:, None], 0, B
-        ).astype(jnp.int16)                                # (D, WL)
+            en - lo[:, None], 0, B
+        ).astype(jnp.int16)                                # (M, WL)
         # Suffix-difference contraction. Ownership of dest j is "first
         # i with en_i > j" (ends are nondecreasing; empty intervals
         # share their predecessor's end so they are never first). With
@@ -187,12 +212,14 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         #   Σ_i [j < en_i] · w_i  =  v_{owner}
         # telescopes EXACTLY in integer bit-pattern arithmetic — one
         # compare per candidate instead of the two-sided interval test.
-        suf = js_rel[:, :, None] < en_rel[:, None, :]      # (D, B, WL)
+        suf = js_rel[:, :, None] < en_rel[:, None, :]      # (M, B, WL)
         idxo = k[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         new_accs = []
         for rc, acc in zip(bits, accs):
-            vals = rc[idxo]                                # (D, W, L, E…)
-            flat = vals.reshape((D, W * L) + vals.shape[3:])
+            vals = rc[idxo]                                # (M, W, L, E…)
+            flat = vals.reshape(
+                (vals.shape[0], W * L) + vals.shape[3:]
+            )
             shifted = jnp.concatenate(
                 [flat[:, 1:], jnp.zeros_like(flat[:, :1])], axis=1
             )
@@ -201,25 +228,74 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
             contrib = jnp.sum(
                 jnp.where(mm, w[:, None], jnp.zeros((), w.dtype)),
                 axis=2, dtype=w.dtype,
-            )                                              # (D, B, E…): mod-2^k sum
+            )                                              # (M, B, E…): mod-2^k sum
             new_accs.append(acc + contrib)
-        done = en[:, -1] >= (block_lo + B)                 # (D,)
+        done = en[:, -1] >= (lo + B)                       # (M,)
         return (
             jnp.where(covered, k, k + W),
             covered | done,
             tuple(new_accs),
         )
 
-    def cond(state):
-        _, covered, _ = state
-        return jnp.logical_not(jnp.all(covered))
-
+    js_full = block_lo[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
     accs0 = tuple(
         jnp.zeros((D, B) + rc.shape[2:], rc.dtype) for rc in bits
     )
-    _, _, accs = lax.while_loop(
-        cond, body, (k0, jnp.zeros((D,), bool), accs0)
+
+    # ---- Pass 1: one unconditional window over every block. ----------
+    _, cov1, accs1 = window(
+        block_lo, js_full, k0, jnp.zeros((D,), bool), accs0, W1
     )
+
+    # ---- Straggler redo: compact uncovered blocks into batches of S
+    # slots and redo them FROM SCRATCH (their pass-1 partials are
+    # replaced wholesale) with the wider W2 window. Typical resamples
+    # have zero or a handful of stragglers, so this loop usually runs
+    # zero or one iteration over an S·B-sized problem instead of
+    # re-running the full n-sized contraction. ------------------------
+    def outer_cond(state):
+        live, _ = state
+        return jnp.any(live)
+
+    def outer_body(state):
+        live, accs = state
+        # First S live block indices (stable → ascending block order).
+        order_s = jnp.argsort(jnp.logical_not(live), stable=True)[:S]
+        v_s = jnp.arange(S) < jnp.sum(live)                # slot valid
+        lo_s = (order_s * B).astype(jnp.int32)
+        js_s = lo_s[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
+        k_s = jnp.where(v_s, k0[order_s], G)
+        accs_s = tuple(
+            jnp.zeros((S, B) + rc.shape[2:], rc.dtype) for rc in bits
+        )
+
+        def inner_cond(st):
+            _, cov, _ = st
+            return jnp.logical_not(jnp.all(cov))
+
+        def inner_body(st):
+            k, cov, a = st
+            return window(lo_s, js_s, k, cov, a, W2)
+
+        _, _, accs_s = lax.while_loop(
+            inner_cond, inner_body,
+            (k_s, jnp.logical_not(v_s), accs_s),
+        )
+        # Scatter the redone rows back; invalid slots drop (their
+        # row index is pushed out of range) so they cannot zero out a
+        # finished block.
+        safe = jnp.where(v_s, order_s, D).astype(jnp.int32)
+        accs = tuple(
+            a.at[safe].set(a_s, mode="drop")
+            for a, a_s in zip(accs, accs_s)
+        )
+        live = live.at[safe].set(False, mode="drop")
+        return live, accs
+
+    _, accs = lax.while_loop(
+        outer_cond, outer_body, (jnp.logical_not(cov1), accs1)
+    )
+
     out_leaves = []
     for a, l in zip(accs, leaves):
         flat = a.reshape((n,) + a.shape[2:])

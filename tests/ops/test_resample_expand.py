@@ -133,3 +133,52 @@ def test_expand_by_cumulative_matches_counts_path():
     got = expand_by_cumulative(xs, cc, n)
     want = _oracle(xs, counts, n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_straggler_redo_pathological_tail():
+    """One heavy source + one thin source per remaining row: the last
+    block's dests span every row, far beyond pass-1's window, forcing
+    the straggler redo loop (round-2 compaction rework)."""
+    n = N
+    g = n // 128
+    counts = jnp.zeros((n,), jnp.int32)
+    counts = counts.at[0].set(n - (g - 1))
+    for r in range(1, g):
+        counts = counts.at[128 * r].set(1)
+    xs = jnp.arange(n, dtype=jnp.float32)
+    got = expand_by_counts(xs, counts, n)
+    want = _oracle(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_straggler_batching_randomized(seed):
+    """Tiny windows + tiny straggler batches: nearly every block
+    straggles and the outer compaction loop must iterate multiple
+    times. Bitwise vs the repeat oracle across weight regimes."""
+    n = N
+    k = jax.random.key(seed)
+    logw = 3.0 * jax.random.normal(k, (n,))
+    counts = _counts_from_logw(k, logw, n)
+    tree = {
+        "x": jax.random.normal(jax.random.key(seed + 100), (n,)),
+        "i": jax.random.randint(jax.random.key(seed + 200), (n,), 0, 99),
+    }
+    got = expand_by_counts(
+        tree, counts, n, margin=0, straggler_margin=1, straggler_batch=2
+    )
+    want = _oracle(tree, counts, n)
+    for kk in tree:
+        np.testing.assert_array_equal(
+            np.asarray(got[kk]), np.asarray(want[kk]), err_msg=kk
+        )
+
+
+def test_no_straggler_short_circuit():
+    """Uniform weights: every block covered in pass 1; the outer
+    while must be a no-op (merely checking it still matches)."""
+    n = N
+    counts = jnp.ones((n,), jnp.int32)
+    xs = jax.random.normal(jax.random.key(8), (n, 2))
+    got = expand_by_counts(xs, counts, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(xs))
