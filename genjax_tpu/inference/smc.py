@@ -178,9 +178,23 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
         if supports_fast_expand(k, n) and all(
             jnp.ndim(l) >= 1 and jnp.shape(l)[0] == k for l in leaves
         ):
-            counts_cum = systematic_offspring_cumulative(
-                key, log_weights, n
+            from genjax_tpu.ops.cdf_counts import (
+                pick_chunk_rows,
+                systematic_cumulative_pallas,
             )
+
+            rows = pick_chunk_rows(n)
+            if rows is not None:
+                # Fused Pallas CDF→counts kernel: ~0.03 ms at 1M vs
+                # ~0.38 ms for the XLA cumsum+cummax pair (measured
+                # v5e; ops/cdf_counts.py module docstring).
+                counts_cum = systematic_cumulative_pallas(
+                    key, log_weights, n, chunk_rows=rows
+                )
+            else:
+                counts_cum = systematic_offspring_cumulative(
+                    key, log_weights, n
+                )
             return expand_by_cumulative(tree, counts_cum, n)
     idx = resample_indices(key, log_weights, n, method)
     return jtu.tree_map(lambda v: v[idx], tree)
