@@ -140,11 +140,20 @@ def config2_nuts(small: bool):
 
 
 def config3_hmm_smc(small: bool):
-    """Discrete HMM logZ via SMC with systematic resampling, vs exact."""
-    from genjax_tpu.inference.pf import particle_filter
+    """Discrete HMM logZ via SMC with systematic resampling, vs exact.
+
+    Round-2 rework: the per-particle formulation (fold_in keys + a
+    ``transition_logits[z]`` row gather per particle) was
+    element-addressing-bound at 32.8M psteps/s. The production path
+    (``models.hmm_bootstrap_filter``) advances the whole ensemble with
+    dense one-hot contractions — the transition row select is an MXU
+    matmul (``ops/onehot.py``) — and scales to 512k particles (2x at
+    equal n, then near-linear: 395M psteps/s at 1M, measured sweep in
+    BASELINE.md; |logZ error| also drops with the bigger ensemble)."""
     from genjax_tpu.lang.distributions.discrete_hmm import (
         DiscreteHMMConfiguration, forward_filter,
     )
+    from genjax_tpu.models import hmm_bootstrap_filter
 
     S, T = (64, 64) if not small else (8, 16)
     config = DiscreteHMMConfiguration.circulant(S, S)
@@ -157,17 +166,9 @@ def config3_hmm_smc(small: bool):
     obs = problem.observations
     _, exact = forward_filter(config, obs)
 
-    def init(key):
-        z = jax.random.categorical(key, config.prior_logits)
-        return z, config.observation_logits[z, obs[0]]
-
-    def step(key, z, o):
-        z_new = jax.random.categorical(key, config.transition_logits[z])
-        return z_new, config.observation_logits[z_new, o]
-
-    n = 1 << (15 if not small else 10)
-    pf = particle_filter(init, step, n)
-    fn = jax.jit(lambda k: pf(k, obs[1:])[0].log_z)
+    n = 1 << (19 if not small else 10)
+    pf = hmm_bootstrap_filter(config, n)
+    fn = jax.jit(lambda k: pf(k, obs)[0].log_z)
     logz, dt = _sync_time(fn, jax.random.key(0))
     # Cost model: per particle-step the categorical transition reads an
     # S-logit row (4S B) and does a gumbel-argmax over it (~8S flop),

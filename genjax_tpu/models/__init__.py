@@ -7,11 +7,12 @@ from genjax_tpu.models.ssm import (
 )
 from genjax_tpu.models.regression import hierarchical_regression
 from genjax_tpu.models.mixture import gaussian_mixture
-from genjax_tpu.models.hmm import hmm_model
+from genjax_tpu.models.hmm import hmm_bootstrap_filter, hmm_model
 
 __all__ = [
     "gaussian_mixture",
     "hierarchical_regression",
+    "hmm_bootstrap_filter",
     "hmm_model",
     "kalman_filter",
     "lgssm_model",

@@ -9,7 +9,7 @@ from genjax_tpu.lang.distributions.discrete_hmm import (
     DiscreteHMMConfiguration,
 )
 
-__all__ = ["hmm_model"]
+__all__ = ["hmm_model", "hmm_bootstrap_filter"]
 
 
 def hmm_model(config: DiscreteHMMConfiguration, n_steps: int):
@@ -29,3 +29,47 @@ def hmm_model(config: DiscreteHMMConfiguration, n_steps: int):
         _ = step.scan(n=n_steps - 1)(z0, None) @ "chain"
 
     return hmm
+
+
+def hmm_bootstrap_filter(config: DiscreteHMMConfiguration,
+                         n_particles: int, **pf_kwargs):
+    """TPU-native bootstrap particle filter for a discrete HMM:
+    ``run(key, observations) -> (FilterState, log_z_per_step)``.
+
+    The whole ensemble advances with dense one-hot contractions
+    (``ops/onehot.py``) instead of per-particle row gathers — the
+    transition row select rides the MXU — and one key per step
+    (``batched=True`` path of :func:`~genjax_tpu.inference.pf
+    .particle_filter`). Measured on a v5e at S=64: 2x the gather
+    formulation at 32k particles and 395M particle-steps/s at 1M
+    (BASELINE.md round 2). ``observations`` is the full ``(T,)`` int
+    sequence; the first entry conditions the init."""
+    import jax
+
+    from genjax_tpu.inference.pf import particle_filter
+    from genjax_tpu.ops.onehot import take_elems, take_rows
+
+    def make(observations):
+        def init(key):
+            z = jax.random.categorical(
+                key, config.prior_logits, shape=(n_particles,)
+            )
+            return z, take_elems(
+                config.observation_logits[:, observations[0]], z
+            )
+
+        def step(key, zs, o):
+            logits = take_rows(config.transition_logits, zs)
+            z_new = jax.random.categorical(key, logits, axis=-1)
+            return z_new, take_elems(
+                config.observation_logits[:, o], z_new
+            )
+
+        return particle_filter(
+            init, step, n_particles, batched=True, **pf_kwargs
+        )
+
+    def run(key, observations):
+        return make(observations)(key, observations[1:])
+
+    return run
