@@ -147,7 +147,7 @@ def systematic_offspring_counts(key: jax.Array, log_weights: jax.Array,
 
 
 def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
-                  n: int, method: str = "systematic"):
+                  n: int, method: str = "systematic", invariant=None):
     """Resample every leaf of ``tree`` (leading axis = particles).
 
     Backend-dispatched implementation of the systematic method, from
@@ -157,7 +157,43 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
     element gathers; ~5x the gather path at 1M), other sizes the sorted
     ancestor gather; on CPU offspring-counts + ``jnp.repeat`` is ~2x
     faster. All are bitwise-equivalent resamplings of the same uniform
-    grid."""
+    grid.
+
+    ``invariant`` (optional): a pytree of bools matching ``tree``'s
+    leaves; True marks a leaf as identical across particles (e.g. the
+    constrained observation values every trace carries) — such leaves
+    are returned untouched, skipping their (often wide) data movement.
+    Compute it with ``core.compiler.taint.variant_leaf_mask`` (negated);
+    passing an invariant mask never changes the result, only the cost
+    (a True-marked leaf that actually varied across particles WOULD
+    change results — the taint analysis is conservative so this cannot
+    happen for masks it produced)."""
+    if invariant is not None:
+        leaves, treedef = jtu.tree_flatten(tree)
+        inv_flat = jtu.tree_leaves(invariant)
+        assert len(inv_flat) == len(leaves), (
+            "invariant mask / tree leaf mismatch"
+        )
+        var_leaves = tuple(
+            l for l, iv in zip(leaves, inv_flat) if not iv
+        )
+        if var_leaves:
+            var_res = resample_tree(
+                key, log_weights, var_leaves, n, method
+            )
+        else:
+            var_res = ()
+        it = iter(var_res)
+        # Invariant leaves: any n rows are the same rows (all particles
+        # carry identical values), so a plain slice replaces the
+        # expansion — identity when the ensemble size is unchanged,
+        # a cheap contiguous slice when resampling n_src -> n (e.g.
+        # waste-free SMC's N -> M starter draw).
+        merged = [
+            (l[:n] if iv else next(it))
+            for l, iv in zip(leaves, inv_flat)
+        ]
+        return jtu.tree_unflatten(treedef, merged)
     if method == "systematic":
         k = log_weights.shape[0]
         on_tpu = jax.default_backend() == "tpu"
