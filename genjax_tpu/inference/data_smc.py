@@ -26,6 +26,7 @@ from genjax_tpu.gfi.choice_map import ChoiceMap
 from genjax_tpu.gfi.concepts import EditRequest
 from genjax_tpu.gfi.gfn import GenerativeFunction
 from genjax_tpu.gfi.requests import Update
+from genjax_tpu.core.compiler.taint import variant_leaf_mask
 from genjax_tpu.inference.smc import (
     effective_sample_size,
     resample_tree,
@@ -66,6 +67,18 @@ def data_annealed_smc(
         )(jnp.arange(n_particles))
         trs = jax.vmap(lambda k: model.simulate(k, model_args))(init_keys)
 
+        # Ensemble-invariant leaves (model args and other key-free
+        # data) skip the resampling expansion; choice leaves that the
+        # schedule constrains later were key-sampled at build and stay
+        # conservatively variant-marked (core/compiler/taint.py).
+        invariant = jtu.tree_map(
+            lambda variant: not variant,
+            variant_leaf_mask(
+                lambda k: model.simulate(k, model_args),
+                jax.random.key(0),
+            ),
+        )
+
         lw = jnp.zeros(n_particles)
         log_z = jnp.zeros(())
         ess_hist = []
@@ -83,7 +96,7 @@ def data_annealed_smc(
             ess_hist.append(ess)
             do_res = ess < ess_threshold * n_particles
             resampled = resample_tree(k_res, lw, trs, n_particles,
-                                      resampling)
+                                      resampling, invariant=invariant)
             trs = jtu.tree_map(
                 lambda a, b: jnp.where(do_res, a, b), resampled, trs
             )

@@ -24,6 +24,7 @@ from jax.scipy.special import logsumexp
 from genjax_tpu.gfi.choice_map import ChoiceMap
 from genjax_tpu.gfi.concepts import IndexRequest
 from genjax_tpu.gfi.requests import Update
+from genjax_tpu.core.compiler.taint import variant_leaf_mask
 from genjax_tpu.inference.smc import (
     effective_sample_size,
     resample_tree,
@@ -75,6 +76,18 @@ def trace_particle_filter(
             lambda k: scan_model.simulate(k, model_args)
         )(init_keys)
 
+        # Ensemble-invariant leaves (model args and other key-free
+        # data; the observation choices are sampled at build and so
+        # stay conservatively variant-marked) skip the resampling
+        # expansion — see core/compiler/taint.py.
+        invariant = jtu.tree_map(
+            lambda variant: not variant,
+            variant_leaf_mask(
+                lambda k: scan_model.simulate(k, model_args),
+                jax.random.key(0),
+            ),
+        )
+
         def step(carry, inp):
             t, obs_t = inp
             trs, lw, log_z = carry
@@ -87,7 +100,7 @@ def trace_particle_filter(
             def do_resample(args):
                 trs, lw, log_z = args
                 trs = resample_tree(k_res, lw, trs, n_particles,
-                                    resampling)
+                                    resampling, invariant=invariant)
                 if refresh_future:
                     # Prior-refresh of the cloned futures (steps >= t):
                     # the Regenerate weight is exactly 0 (nothing
