@@ -177,3 +177,29 @@ class TestPretty:
         assert "<details" in h and "score" in h
         chm = g.C["a"].set(1.0)
         assert "<details" in chm._repr_html_()
+
+
+class TestProfilingHooks:
+    def test_timed_syncs_and_records(self):
+        import jax
+        import jax.numpy as jnp
+
+        from genjax_tpu.utils.profiling import Timed
+
+        t = Timed(jax.jit(lambda x: (x * 2.0).sum()))
+        out = t(jnp.ones(64))
+        assert float(out) == 128.0
+        assert t.last_s is not None and t.last_s >= 0.0
+
+    def test_profile_trace_writes_logdir(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from genjax_tpu.utils.profiling import profile_trace
+
+        d = str(tmp_path / "trace")
+        with profile_trace(d):
+            jax.block_until_ready(jnp.arange(8) + 1)
+        import os
+
+        assert os.path.isdir(d) and os.listdir(d)
