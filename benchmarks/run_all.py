@@ -56,7 +56,9 @@ def config1_sir(small: bool):
         v = g.flip(p) @ "v"
         return v
 
-    k, trials, reps = (1024, 64, 20) if not small else (64, 8, 2)
+    # Round-2 sweep: 1024 trials in one vmap costs ~1.7x the wall time
+    # of 64 (still latency-bound) -> 1.7x particles/s at equal work.
+    k, trials, reps = (1024, 1024, 4) if not small else (64, 8, 2)
     target = Target(bb, (2.0, 2.0), g.C["v"].set(True))
     alg = ImportanceK(target, k_particles=k)
 
@@ -261,12 +263,68 @@ def config5_vi(small: bool):
     }, dt, n_grads * 4.0 * 2, n_grads * 600.0)
 
 
+def config6_tempered(small: bool):
+    """Tempered SMC with Regenerate rejuvenation (MCMC-within-SMC):
+    particle-rung-moves/s on a hierarchical Gaussian target.
+
+    Exercises the trace-level machinery end to end: vmapped importance
+    traces, per-rung reweighting, joint (trace, loglik) resampling with
+    ensemble-invariant leaf skipping (core/compiler/taint.py), and MH
+    rejuvenation via GFI edits. logZ is checked against the
+    conjugate closed form."""
+    import numpy as np
+
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target
+    from genjax_tpu.inference.smc_sampler import tempered_smc
+
+    n_obs = 64
+    ys = 1.5 + 0.7 * jax.random.normal(jax.random.key(0), (n_obs,))
+
+    @g.gen
+    def model(sigma):
+        mu = g.normal(0.0, 3.0) @ "mu"
+        _ = g.mv_normal_diag(
+            mu * jnp.ones(n_obs), sigma * jnp.ones(n_obs)
+        ) @ "ys"
+
+    sigma = 0.8
+    target = Target(model, (sigma,), g.C["ys"].set(ys))
+    P, rungs, moves = (1 << 19, 16, 2) if not small else (256, 4, 1)
+    run = tempered_smc(target, P, n_temps=rungs, n_moves=moves)
+    fn = jax.jit(lambda k: run(k).log_z)
+    logz, dt = _sync_time(fn, jax.random.key(1))
+
+    # Conjugate closed form: ys | mu ~ N(mu, sigma^2 I), mu ~ N(0, 9).
+    y = np.asarray(ys, np.float64)
+    s2, t2, n_ = sigma**2, 9.0, float(n_obs)
+    post_var = 1.0 / (1.0 / t2 + n_ / s2)
+    exact = float(
+        -0.5 * n_ * np.log(2 * np.pi * s2)
+        - 0.5 * (y**2).sum() / s2
+        + 0.5 * (post_var * (y.sum() / s2) ** 2)
+        + 0.5 * np.log(post_var / t2)
+    )
+    # Cost model per particle-rung-move: Regenerate rebuild + rescore
+    # of the 64-point likelihood twice (edit + loglik projection),
+    # ~16 flop/point, plus ~50 B of trace state traffic.
+    prm = P * rungs * moves
+    return _roofline({
+        "metric": "tempered_smc_particle_rung_moves_per_s",
+        "value": round(prm / dt, 1),
+        "unit": "particle-rung-moves/s",
+        "vs_baseline": 1.0,
+        "logz_abs_error": round(abs(float(logz) - exact), 4),
+    }, dt, prm * 50.0, prm * 2.0 * 16.0 * n_obs)
+
+
 CONFIGS = {
     1: config1_sir,
     2: config2_nuts,
     3: config3_hmm_smc,
     4: config4_tracking,
     5: config5_vi,
+    6: config6_tempered,
 }
 
 
