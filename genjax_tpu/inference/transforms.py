@@ -83,15 +83,19 @@ def _simplex_forward(u):
 
 
 def _simplex_inverse(x):
+    # Stable stick-breaking inverse: the remaining mass rem_k =
+    # Σ_{j≥k} x_j is a SUFFIX sum (all positive adds — computing it as
+    # 1 − cumsum cancels catastrophically once the tail sticks shrink
+    # below f32 epsilon, hypothesis-found), and
+    #   logit(z_k) = log(x_k) − log(rem_k − x_k) = log(x_k) − log(rem_{k+1}).
     head = x[..., :-1]
-    rem = jnp.concatenate(
-        [jnp.ones(x.shape[:-1] + (1,)),
-         1.0 - jnp.cumsum(head, axis=-1)[..., :-1]],
-        axis=-1,
-    )
-    z = jnp.clip(head / rem, 1e-12, 1.0 - 1e-12)
-    return jax.scipy.special.logit(z) - _stick_breaking_offsets(
-        head.shape[-1]
+    suffix = jnp.cumsum(x[..., ::-1], axis=-1)[..., ::-1]
+    tail = suffix[..., 1:]                       # rem_{k+1}
+    tiny = jnp.finfo(x.dtype).tiny
+    return (
+        jnp.log(jnp.maximum(head, tiny))
+        - jnp.log(jnp.maximum(tail, tiny))
+        - _stick_breaking_offsets(head.shape[-1])
     )
 
 
