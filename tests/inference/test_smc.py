@@ -199,6 +199,41 @@ class TestMarginalWithAlgorithm:
         assert jnp.abs(got - want) < 5e-2
 
 
+class TestMarginalRandomWeightedWithAlgorithm:
+    """random_weighted under a CUSTOM (K-particle) marginalization
+    algorithm (ROADMAP gap: only estimate_logpdf was covered).
+    Convention (sp.py SampleDistribution): the returned estimate is
+    density-reciprocal-unbiased, E[exp(-est) | value] = 1/p(value),
+    so over joint draws E[exp(true_logpdf(value) - est)] = 1."""
+
+    def test_random_weighted_reciprocal_unbiased(self):
+        from scipy.stats import beta as sbeta
+
+        m = beta_bernoulli.marginal(
+            selection=g.S.at["p"],
+            algorithm=ImportanceK(
+                Target(beta_bernoulli, (2.0, 2.0), g.ChoiceMap.empty()),
+                k_particles=8,
+            ),
+        )
+        keys = jax.random.split(jax.random.key(17), 3000)
+        ests, ps = jax.vmap(
+            lambda k: (
+                lambda est_latent: (
+                    est_latent[0], est_latent[1]["p"]
+                )
+            )(m.random_weighted(k, 2.0, 2.0))
+        )(keys)
+        true = jnp.asarray(sbeta(2, 2).logpdf(np.asarray(ps)))
+        # mean of exp(true - est) -> 1 (reciprocal unbiasedness)
+        log_mean = jax.scipy.special.logsumexp(
+            true - ests
+        ) - jnp.log(len(keys))
+        assert jnp.abs(log_mean) < 5e-2
+        # the sampled values follow the marginal (Beta(2,2)) prior
+        assert jnp.abs(ps.mean() - 0.5) < 2e-2
+
+
 class TestMarginalAsSite:
     """A Marginal (chm-valued SampleDistribution) used at an `@ addr` site
     inside another model: nested constraints must be honored and the outer
