@@ -64,3 +64,43 @@ def test_hmm_bootstrap_filter_logz():
     run = hmm_bootstrap_filter(config, 4096)
     fs, _ = jax.jit(run)(jax.random.key(5), obs)
     assert abs(float(fs.log_z) - float(exact)) < 0.25
+
+
+def test_hmm_bootstrap_filter_sharded_bitwise():
+    """The MXU one-hot HMM filter under a mesh sharding constraint:
+    same bits as the unsharded run (batched path: one key per step, so
+    ensemble values are layout-independent), particles spread over the
+    virtual 8-device mesh."""
+    import numpy as np
+
+    from genjax_tpu.lang.distributions.discrete_hmm import (
+        DiscreteHMMConfiguration,
+    )
+    from genjax_tpu.inference.exact_testbed import sample_problem
+    from genjax_tpu.models import hmm_bootstrap_filter
+    from genjax_tpu.parallel.mesh import particle_mesh, shard_leading_axis
+
+    S, T, P = 16, 12, 1024
+    config = DiscreteHMMConfiguration.circulant(S, S)
+    obs = sample_problem(jax.random.key(3), config, T).observations
+
+    run_plain = hmm_bootstrap_filter(config, P)
+    fs0, lz0 = jax.jit(run_plain)(jax.random.key(5), obs)
+
+    mesh = particle_mesh()
+    run_sharded = hmm_bootstrap_filter(
+        config, P,
+        shard_constraint=lambda t: shard_leading_axis(
+            t, mesh, "particles"
+        ),
+    )
+    fs1, lz1 = jax.jit(run_sharded)(jax.random.key(5), obs)
+
+    np.testing.assert_array_equal(
+        np.asarray(fs0.log_z), np.asarray(fs1.log_z)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fs0.particles), np.asarray(fs1.particles)
+    )
+    shards = {sh.device for sh in fs1.particles.addressable_shards}
+    assert len(shards) == len(jax.devices())
