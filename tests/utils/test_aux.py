@@ -203,3 +203,25 @@ class TestProfilingHooks:
         import os
 
         assert os.path.isdir(d) and os.listdir(d)
+
+
+class TestBootstrapSingleProcess:
+    """Single-process paths of the multi-host bootstrap (the 2-process
+    paths run in tests/parallel/test_multihost.py subprocesses, which
+    the sys.monitoring coverage tool cannot see)."""
+
+    def test_init_distributed_single_process_noop(self):
+        from genjax_tpu.parallel.bootstrap import init_distributed
+
+        init_distributed(num_processes=1)  # must not raise / initialize
+
+    def test_is_multihost_false_here(self):
+        from genjax_tpu.parallel.bootstrap import is_multihost
+
+        assert is_multihost() is False
+
+    def test_local_particle_slice_spans_all(self):
+        from genjax_tpu.parallel.bootstrap import local_particle_slice
+
+        start, stop = local_particle_slice(1024)
+        assert (start, stop) == (0, 1024)
