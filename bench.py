@@ -101,6 +101,38 @@ def _elapsed():
     return time.monotonic() - _T0
 
 
+def build_pf_fused(n_particles: int, n_steps: int,
+                   state_dtype=jnp.float32):
+    """Fused-kernel variant: RNG + dynamics + logpdf + weight update +
+    logsumexp/ESS in one Pallas pass per step (``ops/fused_step.py``);
+    resampling unchanged. Same model and adaptive-resampling semantics
+    as :func:`build_pf`; the normal stream is in-kernel threefry +
+    Box–Muller, so log Z agrees statistically (A/B in BASELINE.md)."""
+    from genjax_tpu.inference.pf import fused_particle_filter
+
+    def propagate(x, e):
+        return (
+            0.5 * x + 25.0 * x / (1.0 + x * x) + jnp.sqrt(10.0) * e
+        )
+
+    def loglik(x, y):
+        return -0.5 * (y - x * x / 20.0) ** 2 - 0.5 * jnp.log(
+            2 * jnp.pi
+        )
+
+    pf = fused_particle_filter(
+        lambda k: jax.random.normal(k, (n_particles,)),
+        propagate, loglik, n_particles, state_dtype=state_dtype,
+    )
+    ys = jax.random.normal(jax.random.key(9), (n_steps,)) * 5.0
+
+    def run(key):
+        final, _ = pf(key, ys)
+        return final.log_z
+
+    return run, n_particles * n_steps
+
+
 def build_pf(n_particles: int, n_steps: int, state_dtype=jnp.float32):
     from genjax_tpu.inference.pf import particle_filter
 

@@ -28,7 +28,12 @@ from genjax_tpu.inference.smc import (
     resample_tree,
 )
 
-__all__ = ["ParticleFilter", "particle_filter", "bootstrap_filter"]
+__all__ = [
+    "ParticleFilter",
+    "particle_filter",
+    "bootstrap_filter",
+    "fused_particle_filter",
+]
 
 
 class FilterState(NamedTuple):
@@ -147,6 +152,106 @@ def particle_filter(
             + logsumexp(final.log_weights)
             - jnp.log(n_particles),
         )
+        return final, log_zs
+
+    return run
+
+
+def fused_particle_filter(
+    init: Callable[[jax.Array], Any],
+    propagate: Callable[[jax.Array, jax.Array], jax.Array],
+    loglik: Callable[[jax.Array, jax.Array], jax.Array],
+    n_particles: int,
+    ess_threshold: float = 0.5,
+    resampling: str = "systematic",
+    state_dtype=jnp.float32,
+    chunk_rows: int = 512,
+    interpret: bool = False,
+):
+    """Particle filter whose per-step hot path (RNG + propagate +
+    loglik + weight accumulate + logsumexp/ESS) is ONE fused Pallas
+    kernel pass (``ops/fused_step.py``) instead of ~6 separate XLA
+    sweeps. Restricted to scalar-state models with one N(0,1) draw per
+    particle per step and scalar observations; the general pytree path
+    is :func:`particle_filter`.
+
+    - ``init(key) -> xs``: the initial ``(n_particles,)`` state
+      ensemble (weights start uniform);
+    - ``propagate(x, eps) -> x_new``: elementwise dynamics
+      (``eps ~ N(0,1)``, supplied by the kernel's in-register
+      threefry2x32 — deterministic given the run key);
+    - ``loglik(x_new, obs_t) -> incremental log-weight``: elementwise.
+
+    Semantics match :func:`particle_filter` (adaptive systematic
+    resampling behind ``lax.cond``, identical log-Z bookkeeping); the
+    normal-draw stream differs from ``jax.random.normal`` (threefry on
+    an element counter + Box–Muller vs. threefry + erfinv), so results
+    agree statistically, not bitwise.
+    """
+    from genjax_tpu.ops.fused_step import (
+        make_fused_step,
+        supports_fused_step,
+    )
+
+    use_kernel = supports_fused_step(n_particles, chunk_rows)
+    if use_kernel:
+        fused = make_fused_step(
+            propagate, loglik, n_particles, chunk_rows=chunk_rows,
+            state_dtype=state_dtype, interpret=interpret,
+        )
+    else:  # non-tiling sizes: same pipeline via the jnp oracle
+        from genjax_tpu.ops.fused_step import fused_step_reference
+
+        fused = fused_step_reference(
+            propagate, loglik, n_particles, state_dtype=state_dtype
+        )
+
+    log_n = jnp.log(n_particles)
+
+    def run(key: jax.Array, observations: Any):
+        k_init, k_scan = jax.random.split(key)
+        xs0 = init(k_init).astype(state_dtype)
+        lw0 = jnp.zeros((n_particles,))
+        # (xs, lw, log_z, lse(lw), ess(lw)) — the fused kernel emits
+        # next step's lse/ess for free, so they ride the carry.
+        carry0 = (xs0, lw0, jnp.zeros(()), jnp.zeros(()) ,
+                  jnp.asarray(float(n_particles)))
+
+        def one_step(carry, inp):
+            t, obs_t = inp
+            xs, lw, log_z, lse, ess = carry
+            k_t = jax.random.fold_in(k_scan, t)
+            k_res, k_prop = jax.random.split(k_t)
+
+            def do_resample(args):
+                xs, lw, log_z = args
+                new_xs = resample_tree(
+                    k_res, lw, xs, n_particles, resampling
+                )
+                return (
+                    new_xs,
+                    jnp.zeros_like(lw),
+                    log_z + lse - log_n,
+                )
+
+            xs, lw, log_z = lax.cond(
+                ess < ess_threshold * n_particles,
+                do_resample,
+                lambda args: args,
+                (xs, lw, log_z),
+            )
+            seeds = jax.random.key_data(k_prop).astype(jnp.uint32)
+            xs, lw, lse, ess = fused(seeds, xs, lw, obs_t)
+            return (
+                (xs, lw, log_z, lse, ess),
+                log_z + lse - log_n,
+            )
+
+        n_steps = jtu.tree_leaves(observations)[0].shape[0]
+        (xs, lw, log_z, lse, _), log_zs = lax.scan(
+            one_step, carry0, (jnp.arange(n_steps), observations)
+        )
+        final = FilterState(xs, lw, log_z + lse - log_n)
         return final, log_zs
 
     return run
