@@ -113,6 +113,15 @@ class GenerativeFunction(Pytree, Generic[R]):
     ``edit``. Inference algorithms speak only this interface.
     """
 
+    def __init_subclass__(cls, **kwargs):
+        # Trace-time argument validation on every concrete GFI method —
+        # the repo's beartype replacement (core/validate.py; parity:
+        # reference installs beartype package-wide, __init__.py:23-33).
+        super().__init_subclass__(**kwargs)
+        from genjax_tpu.core.validate import install_gfi_checks
+
+        install_gfi_checks(cls)
+
     # -- the five methods -------------------------------------------------
 
     @abc.abstractmethod
