@@ -239,6 +239,105 @@ def exp_cumsum(key):
     return scan_time(f, key)
 
 
+def exp_resample_split(key):
+    """Stage-by-stage cost of one full 1M systematic resample on the
+    production path (Pallas CDF + blocked expansion). Each stage adds
+    one pipeline component on top of the previous inside the same scan,
+    so pairwise differences isolate: weight gen | CDF kernel | expansion
+    prep (compaction argsort, comb build, k0 rank compare, value-row
+    gather) | pass-1 window | straggler redo."""
+    from genjax_tpu.ops.cdf_counts import (
+        pick_chunk_rows,
+        systematic_cumulative_pallas,
+    )
+    from genjax_tpu.ops.resample import expand_by_cumulative
+
+    xs = jax.random.normal(key, (N,))
+    rows = pick_chunk_rows(N)
+    out = {}
+
+    def cdf(k):
+        lw = make_weights(k)
+        return systematic_cumulative_pallas(k, lw, N, chunk_rows=rows)
+
+    out["lw_only"] = scan_time(lambda k: make_weights(k), key)
+    out["lw_cdf"] = scan_time(lambda k: cdf(k).astype(jnp.float32), key)
+
+    def prep_only(k):
+        # expand_by_cumulative's pre-window stages, inlined (kept in
+        # sync with ops/resample.py for measurement only).
+        from jax import lax
+        c_inc = cdf(k)
+        L, G = 128, N // 128
+        ends2 = c_inc.reshape(G, L)
+        rowend = ends2[:, -1]
+        rowstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), rowend[:-1]]
+        )
+        nonempty = rowend > rowstart
+        order = jnp.argsort(jnp.logical_not(nonempty), stable=True)
+        k_live = jnp.sum(nonempty)
+        pad_k = jnp.arange(G) >= k_live
+        rowend_c = jnp.where(pad_k, N, rowend[order])
+        ends_c = jnp.where(pad_k[:, None], N, ends2[order])
+        block_lo = jnp.arange(G, dtype=jnp.int32) * 128
+        k0 = jnp.sum(
+            rowend_c[None, :] <= block_lo[:, None], axis=1
+        ).astype(jnp.int32)
+        rc = lax.bitcast_convert_type(xs, jnp.int32).reshape(G, L)[order]
+        return (jnp.sum(k0) + jnp.sum(ends_c[:, -1])
+                + jnp.sum(rc[:, -1])).astype(jnp.float32)
+
+    out["lw_cdf_prep"] = scan_time(prep_only, key)
+
+    for mg in (1, 2, 3):
+        def full(k, mg=mg):
+            return expand_by_cumulative((xs,), cdf(k), N, margin=mg)[0]
+
+        out[f"full_m{mg}"] = scan_time(full, key)
+    return out
+
+
+def exp_adaptive_expand(key):
+    """Adaptive-window Pallas expansion vs the XLA blocked expansion
+    at 1M: bitwise check first, then full-pipeline timings (lw gen +
+    CDF kernel + expansion) for both, plus a degenerate-weights regime
+    (many in-kernel while iterations)."""
+    from genjax_tpu.ops.cdf_counts import (
+        pick_chunk_rows,
+        systematic_cumulative_pallas,
+    )
+    from genjax_tpu.ops.expand_adaptive import expand_adaptive
+    from genjax_tpu.ops.resample import expand_by_cumulative
+
+    xs = jax.random.normal(key, (N,))
+    rows = pick_chunk_rows(N)
+
+    def cdf(k, scale=1.0):
+        lw = make_weights(k) * scale
+        return systematic_cumulative_pallas(k, lw, N, chunk_rows=rows)
+
+    # Bitwise check (compiled kernel on-chip).
+    cc = jax.jit(cdf)(key)
+    a = jax.jit(lambda c: expand_adaptive(xs, c, N))(cc)
+    b = jax.jit(lambda c: expand_by_cumulative((xs,), c, N)[0])(cc)
+    import numpy as _np
+    _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+    print("# bitwise equal vs XLA expansion at 1M: OK")
+
+    out = {}
+    for name, scale in [("mild", 1.0), ("degen", 4.0)]:
+        def f_pl(k, s=scale):
+            return expand_adaptive(xs, cdf(k, s), N)
+
+        def f_xla(k, s=scale):
+            return expand_by_cumulative((xs,), cdf(k, s), N)[0]
+
+        out[f"pallas_{name}"] = scan_time(f_pl, key)
+        out[f"xla_{name}"] = scan_time(f_xla, key)
+    return out
+
+
 EXPS = {k[4:]: v for k, v in list(globals().items())
         if k.startswith("exp_")}
 
