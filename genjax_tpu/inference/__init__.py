@@ -24,11 +24,18 @@ from genjax_tpu.inference.pf import (
 )
 from genjax_tpu.inference.requests import (
     HMC,
+    MALA,
     Rejuvenate,
     SafeHMC,
     selection_gradient,
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
+from genjax_tpu.inference.map_laplace import (
+    LaplaceResult,
+    MAPResult,
+    laplace_approximation,
+    map_optimize,
+)
 from genjax_tpu.inference.smc_sampler import (
     TemperedSMCResult,
     tempered_smc,
@@ -57,6 +64,9 @@ __all__ = [
     "ChangeTarget",
     "DiscreteHMMInferenceProblem",
     "HMC",
+    "MALA",
+    "MAPResult",
+    "LaplaceResult",
     "NUTS",
     "ParticleFilter",
     "TemperedSMCResult",
@@ -83,6 +93,8 @@ __all__ = [
     "vi",
     "Rejuvenate",
     "SafeHMC",
+    "laplace_approximation",
+    "map_optimize",
     "chain",
     "mh",
     "multi_chain",
