@@ -30,6 +30,10 @@ from genjax_tpu.inference.requests import (
     selection_gradient,
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
+from genjax_tpu.inference.pt import (
+    ParallelTemperingResult,
+    parallel_tempering,
+)
 from genjax_tpu.inference.map_laplace import (
     LaplaceResult,
     MAPResult,
@@ -66,6 +70,7 @@ __all__ = [
     "HMC",
     "MALA",
     "MAPResult",
+    "ParallelTemperingResult",
     "LaplaceResult",
     "NUTS",
     "ParticleFilter",
@@ -95,6 +100,7 @@ __all__ = [
     "SafeHMC",
     "laplace_approximation",
     "map_optimize",
+    "parallel_tempering",
     "chain",
     "mh",
     "multi_chain",
