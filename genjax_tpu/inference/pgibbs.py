@@ -1,0 +1,199 @@
+"""Particle Gibbs (conditional SMC) with optional ancestor sampling,
+for state-space models at the array level.
+
+New scope relative to the reference (its only conditional-SMC artifact
+is the single-step ``run_csmc`` retained-particle importance lane,
+``/root/reference/src/genjax/_src/inference/smc.py:317-351`` — no
+sequential filter, no Gibbs iteration): Particle Gibbs (Andrieu,
+Doucet & Holenstein 2010) targets the exact joint smoothing posterior
+p(x_{1:T} | y_{1:T}) by iterating a conditional bootstrap filter —
+one lane pinned to the current reference trajectory — and drawing the
+next reference by ancestral tracing from the final weights. Ancestor
+sampling (Lindsten, Jordan & Schön 2014, PGAS) additionally resamples
+the retained lane's ancestor at every step using the transition
+density, which breaks path degeneracy and makes the sampler mix at
+small N even for long T.
+
+TPU-native shape: particle lanes are a vmap axis; the per-iteration
+filter is one ``lax.scan`` over time, the ancestral backward trace a
+second reversed scan over stored ancestor indices (O(T) int gathers of
+K-vectors — tiny); the whole Gibbs chain is a third scan. Free-lane
+ancestors use MULTINOMIAL resampling (exact conditional validity; the
+conditional version of low-variance schemes needs a coupling argument
+the multinomial case avoids).
+
+Model interface (mirrors ``pf.particle_filter``'s batched mode):
+- ``init_sampler(key, n) -> (n, ...) states`` — prior draw of x_1;
+- ``propagate(key, xs) -> xs_next`` — whole-ensemble transition;
+- ``loglik(xs, y_t) -> (n,)`` — observation log density;
+- ``trans_logpdf(x_prev, x_next) -> (n,)`` (optional) — transition
+  density of one next-state against an ensemble of previous states;
+  supplying it enables ancestor sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from genjax_tpu.inference.smc import resample_indices
+
+__all__ = ["ParticleGibbsResult", "conditional_bootstrap_filter",
+           "particle_gibbs"]
+
+
+class ParticleGibbsResult(NamedTuple):
+    paths: Any              # (n_iters, T, ...) reference trajectories
+    log_zs: jax.Array       # (n_iters,) per-sweep CSMC logZ estimates
+    final_path: Any         # (T, ...) last reference trajectory
+
+
+def _set_lane(tree, idx, value_tree):
+    return jtu.tree_map(
+        lambda xs, v: xs.at[idx].set(v), tree, value_tree
+    )
+
+
+def _gather_lanes(tree, idx):
+    return jtu.tree_map(lambda xs: xs[idx], tree)
+
+
+def conditional_bootstrap_filter(
+    init_sampler: Callable,
+    propagate: Callable,
+    loglik: Callable,
+    n_particles: int,
+    trans_logpdf: Callable | None = None,
+):
+    """Build ``run(key, ys, ref_path) -> (new_path, log_z)``: one
+    conditional-SMC sweep with lane ``K-1`` pinned to ``ref_path``
+    (leading axis T), returning a freshly drawn reference trajectory.
+    With ``trans_logpdf`` the retained lane's ancestor is resampled
+    each step (PGAS)."""
+    k = n_particles
+
+    def run(key: jax.Array, ys, ref_path):
+        k_init, k_scan, k_pick = jax.random.split(key, 3)
+        ref0 = _gather_lanes(ref_path, 0)
+        xs0 = _set_lane(init_sampler(k_init, k), k - 1, ref0)
+        lw0 = loglik(xs0, _gather_lanes(ys, 0))
+        n_steps = jtu.tree_leaves(ys)[0].shape[0]
+
+        def step(carry, inp):
+            t, y_t = inp
+            xs, lw = carry
+            k_t = jax.random.fold_in(k_scan, t)
+            k_anc, k_as, k_prop = jax.random.split(k_t, 3)
+
+            # Free lanes: multinomial ancestors from the current
+            # weights; retained lane: its own history, or an
+            # ancestor-sampled one when the transition density is
+            # available.
+            anc_free = resample_indices(
+                k_anc, lw, k - 1, method="multinomial"
+            )
+            ref_t = _gather_lanes(ref_path, t)
+            if trans_logpdf is None:
+                anc_ref = jnp.array(k - 1, jnp.int32)
+            else:
+                as_lw = lw + trans_logpdf(xs, ref_t)
+                anc_ref = jax.random.categorical(k_as, as_lw)
+            anc = jnp.concatenate(
+                [anc_free, anc_ref[None].astype(anc_free.dtype)]
+            )
+
+            xs = _set_lane(
+                propagate(k_prop, _gather_lanes(xs, anc)), k - 1, ref_t
+            )
+            lw = loglik(xs, y_t)
+            return (xs, lw), (xs, anc, logsumexp(lw) - jnp.log(k))
+
+        (xs_T, lw_T), (states, ancs, logz_incr) = lax.scan(
+            step, (xs0, lw0),
+            (jnp.arange(1, n_steps),
+             jtu.tree_map(lambda v: v[1:], ys)),
+        )
+        log_z = (
+            logsumexp(lw0) - jnp.log(k) + jnp.sum(logz_incr)
+        )
+
+        # Backward ancestral trace from a final draw.
+        b_last = jax.random.categorical(k_pick, lw_T)
+
+        def back(b, inp):
+            xs_t, anc_t = inp
+            x = _gather_lanes(xs_t, b)
+            return anc_t[b], x
+
+        b1, path_rev = lax.scan(
+            back, b_last, (states, ancs), reverse=True
+        )
+        x0 = _gather_lanes(xs0, b1)
+        path = jtu.tree_map(
+            lambda h, t_: jnp.concatenate(
+                [jnp.asarray(h)[None], t_], axis=0
+            ),
+            x0, path_rev,
+        )
+        return path, log_z
+
+    return run
+
+
+def particle_gibbs(
+    init_sampler: Callable,
+    propagate: Callable,
+    loglik: Callable,
+    n_particles: int,
+    n_iters: int,
+    trans_logpdf: Callable | None = None,
+):
+    """Build ``run(key, ys, init_path=None) -> ParticleGibbsResult``:
+    ``n_iters`` conditional-SMC sweeps, each refreshing the reference
+    trajectory (an MCMC kernel whose invariant distribution is the
+    exact joint smoothing posterior). ``init_path``: optional starting
+    trajectory (default: an unconditional bootstrap path from lane 0).
+    """
+    csmc = conditional_bootstrap_filter(
+        init_sampler, propagate, loglik, n_particles, trans_logpdf
+    )
+
+    def run(key: jax.Array, ys, init_path=None):
+        k_boot, k_sweeps = jax.random.split(key)
+        if init_path is None:
+            # Unconditioned warm start: prior rollouts, pick lane 0.
+            n_steps = jtu.tree_leaves(ys)[0].shape[0]
+
+            def roll(carry, t):
+                xs = propagate(jax.random.fold_in(k_boot, t), carry)
+                return xs, xs
+
+            xs0 = init_sampler(jax.random.fold_in(k_boot, 0),
+                               n_particles)
+            _, states = lax.scan(
+                roll, xs0, jnp.arange(1, n_steps)
+            )
+            init_path = jtu.tree_map(
+                lambda h, t_: jnp.concatenate(
+                    [jnp.asarray(h)[0][None], t_[:, 0]], axis=0
+                ),
+                xs0, states,
+            )
+
+        def sweep(path, i):
+            new_path, log_z = csmc(
+                jax.random.fold_in(k_sweeps, i), ys, path
+            )
+            return new_path, (new_path, log_z)
+
+        final_path, (paths, log_zs) = lax.scan(
+            sweep, init_path, jnp.arange(n_iters)
+        )
+        return ParticleGibbsResult(paths, log_zs, final_path)
+
+    return run

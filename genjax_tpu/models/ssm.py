@@ -9,7 +9,8 @@ import jax.numpy as jnp
 from genjax_tpu.lang.static import gen
 from genjax_tpu.lang.distributions import normal
 
-__all__ = ["lgssm_model", "kalman_filter", "nonlinear_tracking_model"]
+__all__ = ["lgssm_model", "kalman_filter", "kalman_smoother",
+           "nonlinear_tracking_model"]
 
 
 def lgssm_model(a: float, q: float, r: float, n_steps: int):
@@ -47,6 +48,46 @@ def kalman_filter(ys, a, q, r, mu0=0.0, p0=1.0):
         step, (jnp.asarray(mu0), jnp.asarray(p0), jnp.zeros(())), ys
     )
     return ll, mus
+
+
+def kalman_smoother(ys, a, q, r, mu0=0.0, p0=1.0):
+    """Exact RTS smoother for the same 1-D LGSSM as
+    :func:`kalman_filter`: returns ``(log_lik, smoothed_means,
+    smoothed_vars)`` — the oracle for particle-Gibbs / FFBS tests."""
+
+    def fstep(carry, y):
+        mu, p, ll = carry
+        mu_pred, p_pred = a * mu, a * a * p + q
+        s = p_pred + r
+        ll = ll - 0.5 * (jnp.log(2 * jnp.pi * s) + (y - mu_pred) ** 2 / s)
+        k_gain = p_pred / s
+        mu_f = mu_pred + k_gain * (y - mu_pred)
+        p_f = (1 - k_gain) * p_pred
+        return (mu_f, p_f, ll), (mu_f, p_f, mu_pred, p_pred)
+
+    (_, _, ll), (mu_f, p_f, mu_pred, p_pred) = jax.lax.scan(
+        fstep, (jnp.asarray(mu0), jnp.asarray(p0), jnp.zeros(())), ys
+    )
+
+    def bstep(carry, inp):
+        mu_next, p_next = carry
+        mu_ft, p_ft, mu_pn, p_pn = inp
+        c = p_ft * a / p_pn
+        mu_s = mu_ft + c * (mu_next - mu_pn)
+        p_s = p_ft + c * c * (p_next - p_pn)
+        return (mu_s, p_s), (mu_s, p_s)
+
+    # Backward pass over t = T-1 .. 1, seeded by the final filtered
+    # state; inputs pair filtered t with predicted t+1.
+    init = (mu_f[-1], p_f[-1])
+    _, (mu_s_rev, p_s_rev) = jax.lax.scan(
+        bstep, init,
+        (mu_f[:-1][::-1], p_f[:-1][::-1],
+         mu_pred[1:][::-1], p_pred[1:][::-1]),
+    )
+    mu_s = jnp.concatenate([mu_s_rev[::-1], mu_f[-1:]])
+    p_s = jnp.concatenate([p_s_rev[::-1], p_f[-1:]])
+    return ll, mu_s, p_s
 
 
 def nonlinear_tracking_model():
