@@ -34,6 +34,11 @@ from genjax_tpu.inference.pt import (
     ParallelTemperingResult,
     parallel_tempering,
 )
+from genjax_tpu.inference.pgibbs import (
+    ParticleGibbsResult,
+    conditional_bootstrap_filter,
+    particle_gibbs,
+)
 from genjax_tpu.inference.map_laplace import (
     LaplaceResult,
     MAPResult,
@@ -71,6 +76,9 @@ __all__ = [
     "MALA",
     "MAPResult",
     "ParallelTemperingResult",
+    "ParticleGibbsResult",
+    "conditional_bootstrap_filter",
+    "particle_gibbs",
     "LaplaceResult",
     "NUTS",
     "ParticleFilter",
