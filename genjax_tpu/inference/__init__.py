@@ -36,8 +36,11 @@ from genjax_tpu.inference.pt import (
 )
 from genjax_tpu.inference.pgibbs import (
     ParticleGibbsResult,
+    TraceParticleGibbsResult,
     conditional_bootstrap_filter,
     particle_gibbs,
+    trace_csmc,
+    trace_particle_gibbs,
 )
 from genjax_tpu.inference.map_laplace import (
     LaplaceResult,
@@ -77,8 +80,11 @@ __all__ = [
     "MAPResult",
     "ParallelTemperingResult",
     "ParticleGibbsResult",
+    "TraceParticleGibbsResult",
     "conditional_bootstrap_filter",
     "particle_gibbs",
+    "trace_csmc",
+    "trace_particle_gibbs",
     "LaplaceResult",
     "NUTS",
     "ParticleFilter",

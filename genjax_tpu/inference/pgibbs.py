@@ -44,7 +44,8 @@ from jax.scipy.special import logsumexp
 from genjax_tpu.inference.smc import resample_indices
 
 __all__ = ["ParticleGibbsResult", "conditional_bootstrap_filter",
-           "particle_gibbs"]
+           "particle_gibbs", "TraceParticleGibbsResult",
+           "trace_csmc", "trace_particle_gibbs"]
 
 
 class ParticleGibbsResult(NamedTuple):
@@ -195,5 +196,188 @@ def particle_gibbs(
             sweep, init_path, jnp.arange(n_iters)
         )
         return ParticleGibbsResult(paths, log_zs, final_path)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# GFI-native particle Gibbs: conditional SMC over TRACES of a Scan model.
+# ---------------------------------------------------------------------------
+
+
+class TraceParticleGibbsResult(NamedTuple):
+    paths: Any              # {addr: (n_iters, T, ...)} reference latents
+    log_zs: jax.Array       # (n_iters,) per-sweep CSMC logZ estimates
+    final_path: Any         # {addr: (T, ...)} last reference latents
+
+
+def trace_csmc(
+    scan_model,
+    model_args: tuple,
+    obs_address: str,
+    observations: jax.Array,
+    latent_addresses: tuple,
+    n_particles: int,
+):
+    """Build ``run(key, ref) -> (new_ref, log_z)``: one conditional-SMC
+    sweep over TRACES of a ``Scan`` model, lane ``K-1`` pinned to the
+    reference latents ``ref = {addr: (T, ...)}``, drawing a fresh
+    reference by a categorical pick from the final weights.
+
+    GFI-native counterpart of :func:`conditional_bootstrap_filter` —
+    the model is any ``Scan`` generative function recording an
+    observation at ``(t, obs_address)`` and latents at
+    ``(t, addr)`` for ``addr in latent_addresses``; no hand-written
+    kernels. Each step: multinomial conditional resampling (free
+    lanes draw ancestors from the weights, the retained lane keeps
+    itself), prior refresh of the cloned futures (``Regenerate`` of
+    steps > t-1 — the weight-0 refresh that makes the filter exactly
+    the bootstrap CSMC, no shared-future coupling), then assimilation
+    of observation t via an O(1) ``IndexRequest`` repair. Ancestor
+    sampling needs the transition density of a single step — use the
+    array-level :func:`conditional_bootstrap_filter` with
+    ``trans_logpdf`` when mixing at small N over long series matters.
+
+    New scope relative to the reference: its only conditional-SMC
+    artifact is the single-step retained importance lane
+    (``/root/reference/src/genjax/_src/inference/smc.py:317-351``).
+    """
+    from genjax_tpu.gfi.choice_map import ChoiceMap
+    from genjax_tpu.gfi.concepts import IndexRequest
+    from genjax_tpu.gfi.requests import Regenerate, Update
+    from genjax_tpu.gfi.selection import Selection
+
+    k = n_particles
+    n_steps = jtu.tree_leaves(observations)[0].shape[0]
+
+    def pin_constraint(ref):
+        chm = ChoiceMap.empty()
+        for addr in latent_addresses:
+            chm = chm | ChoiceMap.entry(
+                ref[addr], jnp.arange(n_steps), addr
+            )
+        return chm
+
+    def extract(tr):
+        chm = tr.get_choices()
+        return {addr: chm[:, addr] for addr in latent_addresses}
+
+    def run(key: jax.Array, ref):
+        k_init, k_pin, k_scan, k_pick = jax.random.split(key, 4)
+        init_keys = jax.vmap(
+            lambda i: jax.random.fold_in(k_init, i)
+        )(jnp.arange(k))
+        trs = jax.vmap(
+            lambda kk: scan_model.simulate(kk, model_args)
+        )(init_keys)
+
+        # Pin lane K-1's latents to the reference trajectory.
+        tr_ref = _gather_lanes(trs, k - 1)
+        tr_ref, _w, _rd, _bwd = tr_ref.update(k_pin, pin_constraint(ref))
+        trs = _set_lane(trs, k - 1, tr_ref)
+
+        def step(carry, inp):
+            t, obs_t = inp
+            trs, lw, log_z = carry
+            k_t = jax.random.fold_in(k_scan, t)
+            k_anc, k_refresh, k_edit = jax.random.split(k_t, 3)
+
+            # Conditional multinomial resampling: free lanes draw
+            # ancestors from the weights, lane K-1 keeps itself.
+            retained = _gather_lanes(trs, k - 1)
+            anc = resample_indices(k_anc, lw, k - 1, method="multinomial")
+            new_trs = _gather_lanes(trs, anc)
+
+            # Prior refresh of the cloned futures (steps > t-1): the
+            # Regenerate weight is exactly 0 (nothing downstream of the
+            # regenerated sites is constrained yet).
+            req_fresh = Regenerate(Selection.idx_above(t - 1))
+
+            def refresh(i, tr):
+                pk = jax.random.fold_in(k_refresh, i)
+                new_tr, _w, _rd, _bwd = tr.edit(pk, req_fresh)
+                return new_tr
+
+            new_trs = jax.vmap(refresh)(jnp.arange(k - 1), new_trs)
+            trs = jtu.tree_map(
+                lambda f, r: jnp.concatenate(
+                    [f, jnp.asarray(r)[None]], axis=0
+                ),
+                new_trs, retained,
+            )
+            log_z = log_z + logsumexp(lw) - jnp.log(k)
+
+            # Assimilate observation t on every lane (O(1) repair);
+            # increment = log p(obs_t | x_t) after adding back the
+            # discarded prior draw's site score.
+            req_obs = IndexRequest(
+                t, Update(ChoiceMap.entry(obs_t, obs_address))
+            )
+
+            def per_particle(i, tr):
+                pk = jax.random.fold_in(k_edit, i)
+                old_y_score = (
+                    tr.get_inner_trace(t)
+                    .get_inner_trace(obs_address)
+                    .get_score()
+                )
+                new_tr, w, _rd, _bwd = tr.edit(pk, req_obs)
+                return new_tr, w + old_y_score
+
+            trs, lw = jax.vmap(per_particle)(jnp.arange(k), trs)
+            return (trs, lw, log_z), None
+
+        (trs, lw, log_z), _ = lax.scan(
+            step,
+            (trs, jnp.zeros(k), jnp.zeros(())),
+            (jnp.arange(n_steps), observations),
+        )
+        log_z = log_z + logsumexp(lw) - jnp.log(k)
+
+        b = jax.random.categorical(k_pick, lw)
+        return extract(_gather_lanes(trs, b)), log_z
+
+    return run
+
+
+def trace_particle_gibbs(
+    scan_model,
+    model_args: tuple,
+    obs_address: str,
+    observations: jax.Array,
+    latent_addresses: tuple,
+    n_particles: int,
+    n_iters: int,
+):
+    """Build ``run(key, init_ref=None) -> TraceParticleGibbsResult``:
+    ``n_iters`` GFI-native conditional-SMC sweeps over a ``Scan``
+    model (an MCMC kernel invariant for the exact joint smoothing
+    posterior of the latents given the observations). ``init_ref``:
+    optional ``{addr: (T, ...)}`` starting latents (default: one
+    unconditional prior rollout)."""
+    csmc = trace_csmc(
+        scan_model, model_args, obs_address, observations,
+        latent_addresses, n_particles,
+    )
+
+    def run(key: jax.Array, init_ref=None):
+        k_boot, k_sweeps = jax.random.split(key)
+        if init_ref is None:
+            tr0 = scan_model.simulate(k_boot, model_args)
+            chm0 = tr0.get_choices()
+            init_ref = {
+                addr: chm0[:, addr] for addr in latent_addresses
+            }
+
+        def sweep(ref, i):
+            new_ref, log_z = csmc(
+                jax.random.fold_in(k_sweeps, i), ref
+            )
+            return new_ref, (new_ref, log_z)
+
+        final_ref, (paths, log_zs) = lax.scan(
+            sweep, init_ref, jnp.arange(n_iters)
+        )
+        return TraceParticleGibbsResult(paths, log_zs, final_ref)
 
     return run

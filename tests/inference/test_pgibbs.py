@@ -135,3 +135,78 @@ class TestCSMCMechanics:
         path, log_z = csmc(KEY, YS, jnp.zeros(T))
         assert path.shape == (T,)
         assert jnp.isfinite(log_z)
+
+
+class TestTraceParticleGibbs:
+    """GFI-native particle Gibbs on an @gen Scan LGSSM, vs the exact
+    RTS smoother (mu0=0, p0=0: x_1 ~ N(0, Q))."""
+
+    def _model(self, t=10):
+        import genjax_tpu as g
+
+        @g.gen
+        def step(carry, _):
+            prev = carry
+            x = g.normal(A * prev, jnp.sqrt(Q)) @ "x"
+            g.normal(x, jnp.sqrt(R)) @ "y"
+            return x, x
+
+        return step.scan(n=t), (0.0, None)
+
+    def test_matches_smoother(self):
+        from genjax_tpu.inference.pgibbs import trace_particle_gibbs
+
+        t = 10
+        ys = YS[:t]
+        model, args = self._model(t)
+        run = trace_particle_gibbs(
+            model, args, "y", ys, ("x",), n_particles=64, n_iters=500
+        )
+        res = jax.jit(run)(KEY)
+        paths = np.asarray(res.paths["x"])[100:]
+        _, mu_s, p_s = kalman_smoother(ys, A, Q, R, mu0=0.0, p0=0.0)
+        err = np.abs(paths.mean(axis=0) - np.asarray(mu_s))
+        assert err.max() < 0.15, err
+        serr = np.abs(paths.std(axis=0) - np.sqrt(np.asarray(p_s)))
+        assert serr.max() < 0.15, serr
+
+    def test_logz_near_kalman(self):
+        from genjax_tpu.inference.pgibbs import trace_particle_gibbs
+
+        t = 10
+        ys = YS[:t]
+        model, args = self._model(t)
+        run = trace_particle_gibbs(
+            model, args, "y", ys, ("x",), n_particles=64, n_iters=100
+        )
+        res = jax.jit(run)(KEY)
+        ll, _ = kalman_filter(ys, A, Q, R, mu0=0.0, p0=0.0)
+        assert abs(float(np.median(np.asarray(res.log_zs))) - float(ll)) < 0.5
+
+    def test_retained_lane_pinned_exactly(self):
+        """One sweep with a dominant reference: with near-zero
+        observation noise and observations exactly on the reference
+        path, only the pinned lane has any likelihood mass, so the
+        fresh draw must equal the reference bitwise (pinning +
+        conditional resampling + future refresh + assimilation leave
+        the retained lane intact end to end)."""
+        import genjax_tpu as g
+        from genjax_tpu.inference.pgibbs import trace_csmc
+
+        t = 6
+
+        @g.gen
+        def step(carry, _):
+            prev = carry
+            x = g.normal(A * prev, jnp.sqrt(Q)) @ "x"
+            g.normal(x, 1e-4) @ "y"
+            return x, x
+
+        model = step.scan(n=t)
+        ref = {"x": jnp.linspace(-1.0, 1.0, t)}
+        csmc = trace_csmc(model, (0.0, None), "y", ref["x"], ("x",), 8)
+        new_ref, log_z = jax.jit(csmc)(KEY, ref)
+        np.testing.assert_array_equal(
+            np.asarray(new_ref["x"]), np.asarray(ref["x"])
+        )
+        assert jnp.isfinite(log_z)
