@@ -195,6 +195,30 @@ def exp_blocked_expand(key):
     return out
 
 
+def exp_k0_recursive(key):
+    """Quadratic vs recursive block-start (k0) computation inside the
+    full counts+expand pipeline at 2^21..2^23 particles. The quadratic
+    compare is O((n/128)^2); the recursive expansion is O(n)."""
+    import genjax_tpu.ops.resample as rs
+    from genjax_tpu.inference.smc import systematic_offspring_counts
+
+    out = {}
+    for logn in (21, 22, 23):
+        n = 1 << logn
+        xs = jax.random.normal(key, (n,))
+
+        def f(k, n=n, xs=xs):
+            lw = jax.random.normal(k, (n,)) * 2.0
+            counts = systematic_offspring_counts(k, lw, n)
+            return rs.expand_by_counts(xs, counts, n)
+
+        for mode, thresh in (("quad", 1 << 30), ("rec", 16384)):
+            rs._K0_RECURSE_MIN_ROWS = thresh
+            out[f"n2^{logn}_{mode}"] = scan_time(f, key, reps=8)
+    rs._K0_RECURSE_MIN_ROWS = 16384
+    return out
+
+
 def exp_bf16(key):
     """bf16 particle state vs f32 on the full tracking filter at 1M x 32
     (weights stay f32): throughput each + |dlogz| accuracy check."""

@@ -67,6 +67,40 @@ def supports_fast_expand(n_src: int, n_dest: int, lanes: int = 128,
     )
 
 
+#: Row count above which the block-start computation recurses instead of
+#: running the (D, G) brute-force compare. The quadratic compare is VPU-
+#: cheap up to ~2^14 rows (67M compares ≈ 0.02 ms at 1M particles) but
+#: grows O((n/128)²) — 0.7 ms/resample at 2^23 particles. Tests shrink
+#: this to force the recursive path at small sizes.
+_K0_RECURSE_MIN_ROWS = 16384
+
+
+def _first_rows(rowend_c, block_lo, G: int, D: int, B: int):
+    """``k0[b] = #{i : rowend_c[i] <= b*B}`` — the first compacted row
+    of each dest block (both sequences nondecreasing).
+
+    Large ensembles recurse: with ``c_i = ceil(rowend_c[i]/B)`` (also
+    nondecreasing, ``c[-1] == D``), ``k0[b] = #{i : c_i <= b}`` is the
+    ownership inverse of the monotone map ``c`` — exactly what
+    :func:`expand_by_cumulative` computes (``dest[b] = src[first i
+    with c_i > b]`` over ``src = arange``), at 1/128 the size. One
+    recursion level makes the block-start cost O(n); below the
+    threshold the brute-force compare wins (fully vectorized, operands
+    VMEM-resident)."""
+    if (
+        D == G
+        and G >= _K0_RECURSE_MIN_ROWS
+        and supports_fast_expand(G, G)
+    ):
+        c = (rowend_c + (B - 1)) // B                      # ceil, exact
+        return expand_by_cumulative(
+            jnp.arange(G, dtype=jnp.int32), c.astype(jnp.int32), G
+        )
+    return jnp.sum(
+        rowend_c[None, :] <= block_lo[:, None], axis=1
+    ).astype(jnp.int32)
+
+
 def expand_by_counts(tree, counts: jax.Array, n: int, *,
                      lanes: int = 128, rows_per_block: int = 1,
                      margin: int = 3, straggler_margin: int = 15,
@@ -150,9 +184,7 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
     # First compacted row of each dest block: the row whose interval
     # contains dest j0 = b·B (rowend_c is nondecreasing).
     block_lo = jnp.arange(D, dtype=jnp.int32) * B          # (D,)
-    k0 = jnp.sum(
-        rowend_c[None, :] <= block_lo[:, None], axis=1
-    ).astype(jnp.int32)                                    # (D,)
+    k0 = _first_rows(rowend_c, block_lo, G, D, B)          # (D,)
 
     # Values as INTEGER BIT PATTERNS, pre-gathered into compacted row
     # order once per call (removes the per-iteration order element

@@ -182,3 +182,72 @@ def test_no_straggler_short_circuit():
     xs = jax.random.normal(jax.random.key(8), (n, 2))
     got = expand_by_counts(xs, counts, n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(xs))
+
+
+class TestRecursiveBlockStarts:
+    """The O(n) recursive block-start path (``_first_rows`` recursion)
+    must be bitwise-identical to the brute-force compare."""
+
+    @pytest.mark.parametrize("regime", [
+        "uniform", "mild", "skewed", "one_hot", "two_far", "head_tail",
+    ])
+    def test_forced_recursion_matches_repeat(self, regime, monkeypatch):
+        import genjax_tpu.ops.resample as rs
+
+        # Force the recursive path at test size (production threshold
+        # is 16384 rows = 2^21 particles).
+        monkeypatch.setattr(rs, "_K0_RECURSE_MIN_ROWS", 128)
+        n = 128 * 128  # G = D = 128: smallest recursable size
+        if regime == "uniform":
+            logw = jnp.zeros(n)
+        elif regime == "mild":
+            logw = jax.random.normal(KEY, (n,))
+        elif regime == "skewed":
+            logw = 3.0 * jax.random.normal(KEY, (n,))
+        elif regime == "one_hot":
+            logw = jnp.where(jnp.arange(n) == 3891, 0.0, -1e9)
+        elif regime == "two_far":
+            logw = jnp.where(
+                (jnp.arange(n) == 3) | (jnp.arange(n) == n - 2),
+                0.0, -1e9,
+            )
+        else:  # head_tail
+            logw = jnp.where(jnp.arange(n) < 8, 10.0, -2.0)
+        counts = _counts_from_logw(KEY, logw, n)
+        assert int(counts.sum()) == n
+        xs = jax.random.normal(jax.random.key(1), (n,))
+        got = rs.expand_by_counts(xs, counts, n)
+        want = _oracle(xs, counts, n)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_first_rows_recursive_equals_quadratic(self, monkeypatch):
+        import genjax_tpu.ops.resample as rs
+
+        n = 128 * 256
+        B = 128
+        G = D = n // B
+        block_lo = jnp.arange(D, dtype=jnp.int32) * B
+        for seed in range(5):
+            k = jax.random.key(seed)
+            # Random nondecreasing rowend_c ending exactly at n (the
+            # compacted-row invariant), including runs of equal ends
+            # (ex-empty rows).
+            bnds = jnp.sort(
+                jax.random.randint(k, (G - 1,), 0, n + 1)
+            ).astype(jnp.int32)
+            rowend = jnp.concatenate(
+                [bnds, jnp.array([n], jnp.int32)]
+            )
+            quad = jnp.sum(
+                rowend[None, :] <= block_lo[:, None], axis=1
+            ).astype(jnp.int32)
+            monkeypatch.setattr(rs, "_K0_RECURSE_MIN_ROWS", 128)
+            rec = rs._first_rows(rowend, block_lo, G, D, B)
+            np.testing.assert_array_equal(
+                np.asarray(rec), np.asarray(quad)
+            )
+
+    def test_production_threshold_not_hit_below_2_21(self):
+        import genjax_tpu.ops.resample as rs
+
+        assert rs._K0_RECURSE_MIN_ROWS == 16384  # 2^21 particles
