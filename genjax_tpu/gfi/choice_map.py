@@ -121,6 +121,19 @@ class ChoiceMap(Pytree):
         for comp in reversed(comps):
             if _is_static_comp(comp):
                 chm = Static.build({comp: chm})
+            elif isinstance(comp, slice):
+                # ``C[:].set({"x": xs})``: the full slice addresses ALL
+                # lanes — a canonical Indexed ("lane i is addressed by
+                # i", the same node Vmap/Scan traces build), with the
+                # leaves carrying the leading lane axis. Parity:
+                # reference ``choice_map.py:712-716`` (slices accepted
+                # as address components).
+                if comp != slice(None):
+                    raise ValueError(
+                        "only the full slice ':' is a valid address "
+                        f"component, got {comp!r}"
+                    )
+                chm = Indexed(chm, None)
             else:
                 chm = Indexed(chm, jnp.asarray(comp))
         return chm

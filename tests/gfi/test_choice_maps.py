@@ -247,3 +247,89 @@ class TestLanesLeading:
         assert jnp.allclose(
             jnp.asarray(fixed["flat"])[2], single["flat"]
         )
+
+
+class TestFullSliceBuilder:
+    """``C[:].set(...)`` — the full slice addresses all lanes (parity:
+    reference ``tests/core/test_choice_maps.py`` ``test_choicemap_slice``
+    / ``test_filtered_chm_update``)."""
+
+    def test_build_and_read(self):
+        xs = jnp.arange(4.0)
+        c = C[:].set({"x": xs})
+        assert jnp.array_equal(c[:, "x"], xs)
+        assert float(c[2, "x"]) == 2.0
+
+    def test_stepped_slice_rejected(self):
+        with pytest.raises(ValueError, match="full slice"):
+            C[::2].set({"x": jnp.arange(4.0)})
+        with pytest.raises(ValueError, match="full slice"):
+            C[1:3].set({"x": jnp.arange(4.0)})
+
+    def test_filtered_chm_update(self):
+        """Filter a full-slice constraint to one address and Update a
+        repeat-model trace with it: only the selected address moves
+        (parity: reference ``test_filtered_chm_update``)."""
+        import genjax_tpu as g
+
+        @g.gen
+        def f():
+            x = g.normal(0.0, 1.0) @ "x"
+            y = g.normal(10.0, 1.0) @ "y"
+            return x, y
+
+        tr = f.repeat(n=4).simulate(jax.random.key(0), ())
+        xs, ys = jnp.ones(4), 5 * jnp.ones(4)
+        c = C[:].set({"x": xs, "y": ys})
+
+        only_xs = c.filter(Selection.at[..., "x"])
+        new_tr, w, _, _ = tr.update(jax.random.key(1), only_xs)
+        nc = new_tr.get_choices()
+        assert jnp.array_equal(nc[:, "x"], xs)
+        assert not jnp.array_equal(nc[:, "y"], ys)
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+        only_ys = c.filter(Selection.at[..., "y"])
+        new_tr2, _, _, _ = tr.update(jax.random.key(2), only_ys)
+        nc2 = new_tr2.get_choices()
+        assert jnp.array_equal(nc2[:, "y"], ys)
+        assert not jnp.array_equal(nc2[:, "x"], xs)
+
+
+class TestSplitPathProperties:
+    """get_submap path-splitting laws (parity: reference hypothesis
+    tests ``test_get_submap_split_path`` / ``test_path_can_be_splat``)."""
+
+    MAPPING = {
+        "a": 1.0,
+        ("b", "c"): 2.0,
+        ("b", "d", "e"): 3.0,
+        ("f", "g"): 4.0,
+    }
+
+    def _paths(self):
+        return [
+            (("a",), 1.0),
+            (("b", "c"), 2.0),
+            (("b", "d", "e"), 3.0),
+            (("f", "g"), 4.0),
+        ]
+
+    def test_get_submap_split_path(self):
+        chm = ChoiceMap.d(self.MAPPING)
+        for path, value in self._paths():
+            for i in range(len(path) + 1):
+                got = chm.get_submap(*path[:i])[path[i:]] \
+                    if path[i:] else chm.get_submap(*path[:i]).get_value()
+                assert got == value, (path, i)
+
+    def test_path_can_be_splat(self):
+        chm = ChoiceMap.d(self.MAPPING)
+        for path, value in self._paths():
+            a = chm.get_submap(*path)
+            b = chm
+            for comp in path:
+                b = b.get_submap(comp)
+            assert a.get_value() == b.get_value() == value
