@@ -404,8 +404,24 @@ class Indexed(ChoiceMap):
     def get_value(self):
         return None
 
+    def static_is_empty(self) -> bool:
+        # Zero lanes (e.g. a zero-length Scan trace): statically empty —
+        # lookups below would otherwise argmax an empty axis. Scalar
+        # lanes (idx.ndim == 0, built under vmap) are NOT empty.
+        if self.n == 0:
+            return True
+        if self.n is None and self.idx is None:
+            for leaf in jtu.tree_leaves(self.inner):
+                if jnp.ndim(leaf) >= 1:
+                    return jnp.shape(leaf)[0] == 0
+        elif self.idx is not None and jnp.ndim(self.idx) >= 1:
+            return jnp.shape(self.idx)[0] == 0
+        return False
+
     def get_inner_map(self, comp) -> ChoiceMap:
         if isinstance(comp, str):
+            return Empty()
+        if self.static_is_empty():
             return Empty()
         idx = self._get_idx()
         n = idx.shape[0] if idx.ndim else 0

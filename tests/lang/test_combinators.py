@@ -603,3 +603,36 @@ class TestSwitchIndexChangeRegenerate:
         tr = jax.jit(sw.simulate)(KEY, (jnp.asarray(1), (), ()))
         sub = tr.get_inner_trace("x")
         assert float(sub.get_retval()) > 5.0
+
+
+class TestScanEdgeCases:
+    """Parity: reference ``test_scan_combinator.py`` GEN-333
+    (zero-length) and length inference."""
+
+    def test_zero_length_scan(self):
+        @g.gen
+        def step(state, sigma):
+            new_x = g.normal(state, sigma) @ "x"
+            return new_x, new_x + 1
+
+        tr = step.scan(n=0).simulate(
+            KEY, (2.0, jnp.arange(0, dtype=float))
+        )
+        assert tr.get_choices().static_is_empty()
+        assert float(tr.get_score()) == 0.0
+        # importance against the empty choices round-trips
+        _tr2, w = step.scan().importance(
+            jax.random.key(1), tr.get_choices(),
+            (2.0, jnp.arange(0, dtype=float)),
+        )
+        assert float(w) == 0.0
+
+    def test_scan_length_inferred(self):
+        @g.gen
+        def step(c, x):
+            z = g.normal(c + x, 1.0) @ "z"
+            return z, z
+
+        tr = step.scan().simulate(KEY, (0.0, jnp.arange(3.0)))
+        assert tr.get_retval()[1].shape == (3,)
+        assert tr.get_choices()[:, "z"].shape == (3,)
