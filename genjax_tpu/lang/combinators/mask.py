@@ -65,6 +65,21 @@ class MaskTrace(Trace[Any]):
         return self.inner.get_inner_trace(address)
 
 
+def _check_scalar_flag(check):
+    """A vector flag would silently produce a VECTOR score — a GFI
+    contract violation. Vectorize with ``.vmap()`` around the masked
+    fn instead (parity: reference ``mask.py`` flag validation,
+    ``tests/.../test_mask_fails_with_vector_mask``). Traced scalars
+    (including under vmap batching, where the tracer's aval is
+    scalar) pass."""
+    if jnp.ndim(check) != 0:
+        raise TypeError(
+            "mask flag must be a scalar (got shape "
+            f"{jnp.shape(check)}); vmap the masked function instead"
+        )
+    return check
+
+
 @Pytree.dataclass
 class MaskCombinator(GenerativeFunction[Any]):
     """Args: ``(flag, *inner_args)``; retval ``Mask(inner_ret, flag)``."""
@@ -72,17 +87,17 @@ class MaskCombinator(GenerativeFunction[Any]):
     inner: GenerativeFunction[Any]
 
     def simulate(self, key: jax.Array, args: tuple) -> MaskTrace:
-        check, inner_args = args[0], args[1:]
+        check, inner_args = _check_scalar_flag(args[0]), args[1:]
         tr = self.inner.simulate(key, inner_args)
         return MaskTrace(self, tr, check)
 
     def assess(self, chm: ChoiceMap, args: tuple):
-        check, inner_args = args[0], args[1:]
+        check, inner_args = _check_scalar_flag(args[0]), args[1:]
         score, retval = self.inner.assess(chm, inner_args)
         return _flag_times(check, score), Mask.build(retval, check)
 
     def generate(self, key: jax.Array, constraint: ChoiceMap, args: tuple):
-        check, inner_args = args[0], args[1:]
+        check, inner_args = _check_scalar_flag(args[0]), args[1:]
         tr, w = self.inner.generate(key, constraint, inner_args)
         return MaskTrace(self, tr, check), _flag_times(check, w)
 

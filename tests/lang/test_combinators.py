@@ -636,3 +636,22 @@ class TestScanEdgeCases:
         tr = step.scan().simulate(KEY, (0.0, jnp.arange(3.0)))
         assert tr.get_retval()[1].shape == (3,)
         assert tr.get_choices()[:, "z"].shape == (3,)
+
+
+def test_mask_fails_with_vector_mask():
+    """Parity: reference ``test_mask_fails_with_vector_mask`` — a
+    vector flag would yield a vector score (GFI contract violation);
+    vmap under traced scalar flags still works."""
+    @g.gen
+    def model():
+        return g.normal(0.0, 1.0) @ "x"
+
+    with pytest.raises(TypeError, match="scalar"):
+        model.mask().simulate(KEY, (jnp.array([True, True, False]),))
+
+    # vmap over the flag axis is the supported spelling:
+    trs = jax.vmap(
+        lambda k, f: model.mask().simulate(k, (f,)).get_score()
+    )(jax.random.split(KEY, 3), jnp.array([True, True, False]))
+    assert trs.shape == (3,)
+    assert float(trs[2]) == 0.0
