@@ -292,7 +292,27 @@ class Choice(ChoiceMap):
         return self.v
 
     def get_inner_map(self, comp) -> ChoiceMap:
-        return Empty()
+        if _is_static_comp(comp) and isinstance(comp, str):
+            return Empty()
+        # Dynamic (int/array) lookup on a bare value: index its leading
+        # axis — ``ChoiceMap.choice(arr)`` used as a Vmap-level
+        # constraint addresses lane ``i`` at ``arr[i]`` (parity:
+        # reference ``choice_map.py:1444-1451``, exercised by
+        # ``test_assess_vmap_masked`` / GEN-903).
+        if isinstance(comp, slice):
+            if comp == slice(None):
+                return self
+            raise ValueError(
+                "only the full slice ':' is a valid address component"
+            )
+        def ix(leaf):
+            return leaf[comp]
+
+        if isinstance(self.v, Mask):
+            return Choice(Mask(jtu.tree_map(ix, self.v.value),
+                               jnp.asarray(self.v.flag)[comp]
+                               if jnp.ndim(self.v.flag) else self.v.flag))
+        return Choice(jtu.tree_map(ix, self.v))
 
     def filter(self, selection) -> ChoiceMap:
         if not isinstance(selection, Selection):

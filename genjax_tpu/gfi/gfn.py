@@ -338,9 +338,20 @@ class GenerativeFunctionClosure(Pytree, Generic[R]):
     kwargs: dict = Pytree.field(default_factory=dict)
 
     def __matmul__(self, addr) -> R:
+        from genjax_tpu.core.pytree import Const
         from genjax_tpu.lang.static import trace_here
 
         if self.kwargs:
+            kw = dict(self.kwargs)
+            ss = kw.pop("sample_shape", None)
+            if ss is not None and not kw and hasattr(self.gen_fn, "iid"):
+                # ``normal(0., 1., sample_shape=Const((2, 2))) @ "x"``:
+                # an iid block with a static leading shape (parity:
+                # reference TFP sample_shape).
+                shape = ss.value if isinstance(ss, Const) else ss
+                return trace_here(
+                    addr, self.gen_fn.iid(shape), self.args
+                )
             gf = self.gen_fn.handle_kwargs()
             return trace_here(addr, gf, (self.args, dict(self.kwargs)))
         return trace_here(addr, self.gen_fn, self.args)

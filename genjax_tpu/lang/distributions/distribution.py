@@ -294,6 +294,52 @@ class ExactDensity(Distribution):
             return jnp.sum(lp)
         return lp
 
+    def iid(self, sample_shape) -> "IIDBlock":
+        """An iid block of this distribution with a STATIC leading
+        ``sample_shape``: the score is the joint (summed) log-density.
+        Reached from ``@gen`` via the ``sample_shape=`` kwarg — e.g.
+        ``normal(0., 1., sample_shape=Const((2, 2))) @ "x"`` (parity:
+        reference TFP ``sample_shape``,
+        ``tests/.../test_static_gen_fn.py test_static_sample_shape``)."""
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return IIDBlock(self, tuple(int(s) for s in sample_shape))
+
+
+@Pytree.dataclass
+class IIDBlock(ExactDensity):
+    """``sample_shape`` iid draws of an inner :class:`ExactDensity` as
+    one choice: value shape ``sample_shape + event_shape``, score the
+    summed log-density. The per-draw keys come from one ``vmap`` over
+    split keys, so the block stays a single batched threefry launch on
+    TPU."""
+
+    inner: ExactDensity
+    shape: tuple = Pytree.static()
+
+    def _n(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n
+
+    def sample(self, key, *args):
+        ks = jax.random.split(key, self._n())
+        draws = jax.vmap(lambda k: self.inner.sample(k, *args))(ks)
+        return draws.reshape(self.shape + draws.shape[1:])
+
+    def logpdf(self, v, *args):
+        nd = len(self.shape)
+        flat = jnp.reshape(v, (self._n(),) + jnp.shape(v)[nd:])
+        return jax.vmap(lambda x: self.inner._logpdf_sum(x, *args))(flat)
+
+    def get_support(self, *args):
+        getter = getattr(self.inner, "get_support", None)
+        return getter(*args) if getter is not None else None
+
+    def __repr__(self):
+        return f"{self.inner!r}.iid({self.shape})"
+
 
 @Pytree.dataclass
 class ExactDensityFromCallables(ExactDensity):

@@ -655,3 +655,37 @@ def test_mask_fails_with_vector_mask():
     )(jax.random.split(KEY, 3), jnp.array([True, True, False]))
     assert trs.shape == (3,)
     assert float(trs[2]) == 0.0
+
+
+class TestVmapArrayConstraints:
+    """Vmap-level constraints as bare array choices (parity: reference
+    ``Choice.get_inner_map`` dynamic indexing; GEN-903
+    ``test_assess_vmap_masked``)."""
+
+    def test_plain_choice_array_constrains_all_lanes(self):
+        gf = g.flip.vmap(in_axes=(0,))
+        fp = jnp.array([0.2, 0.4, 0.6])
+        want = jnp.array([1, 1, 1], dtype=bool)
+        chm = g.ChoiceMap.choice(want)
+        tr, w = gf.importance(KEY, chm, (fp,))
+        assert jnp.array_equal(tr.get_retval(), want)
+        exact = jnp.sum(jnp.log(fp))
+        assert jnp.allclose(w, exact, atol=1e-6)
+
+    def test_assess_vmap_masked_switch_chm(self):
+        gf = g.flip.vmap(in_axes=(0,))
+        fp = jnp.array([0.2, 0.4, 0.6])
+
+        @jax.jit
+        def get_choicemap(idx):
+            return g.ChoiceMap.switch(idx, [
+                g.ChoiceMap.choice(jnp.array([0, 0, 1], dtype=bool)),
+                g.ChoiceMap.choice(jnp.array([1, 1, 1], dtype=bool)),
+            ])
+
+        chm = get_choicemap(1)
+        tr, w = gf.importance(jax.random.key(0), chm, (fp,))
+        score, r = gf.assess(chm, (fp,))
+        assert jnp.array_equal(tr.get_retval(), r)
+        assert jnp.allclose(tr.get_score(), score)
+        assert jnp.allclose(score, w), "no weight change w/ same chm"

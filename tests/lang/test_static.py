@@ -240,3 +240,37 @@ class TestRequestVocabulary:
         assert float(new_tr.get_choices()["x"]) != float(
             tr.get_choices()["x"]
         )
+
+
+class TestSampleShape:
+    """Parity: reference ``test_static_sample_shape`` — the
+    ``sample_shape=`` kwarg draws an iid block as one choice."""
+
+    def test_iid_block_shape_and_score(self):
+        @g.gen
+        def f():
+            return g.normal(
+                0.0, 1.0, sample_shape=g.Const((2, 2))
+            ) @ "normal"
+
+        tr = f.simulate(jax.random.key(0), ())
+        v = tr.get_choices()["normal"]
+        assert tr.get_retval().shape == (2, 2)
+        assert v.shape == (2, 2)
+        want = jnp.sum(jss.norm.logpdf(v, 0.0, 1.0))
+        assert jnp.allclose(tr.get_score(), want, atol=1e-6)
+
+    def test_iid_assess_and_generate(self):
+        @g.gen
+        def f():
+            return g.normal(
+                1.0, 2.0, sample_shape=g.Const(3)
+            ) @ "x"
+
+        vals = jnp.array([0.5, 1.5, 2.5])
+        chm = g.C["x"].set(vals)
+        score, ret = f.assess(chm, ())
+        want = jnp.sum(jss.norm.logpdf(vals, 1.0, 2.0))
+        assert jnp.allclose(score, want, atol=1e-6)
+        tr, w = f.importance(jax.random.key(0), chm, ())
+        assert jnp.allclose(w, want, atol=1e-6)
