@@ -93,7 +93,18 @@ def trace_here(addr, gen_fn: GenerativeFunction, args: tuple):
             "Traced calls (`gf(args) @ addr`) only make sense inside a "
             "@gen function body being executed by the GFI."
         )
-    if not isinstance(addr, (str, int)):
+    if isinstance(addr, tuple):
+        # Tupled address sugar: ``gf(args) @ ("x", "x0")`` nests the
+        # choice at the static path (parity: reference
+        # ``tests/core/generative/test_core.py test_tupled_address``).
+        if not addr or not all(isinstance(c, (str, int)) for c in addr):
+            raise TypeError(
+                "Tupled trace addresses must be non-empty tuples of "
+                f"static str/int components, got {addr!r}."
+            )
+        if len(addr) == 1:
+            addr = addr[0]
+    elif not isinstance(addr, (str, int)):
         raise TypeError(
             f"Trace addresses must be static str or int, got {addr!r}."
         )
@@ -111,6 +122,17 @@ class StaticHandler:
     def visit(self, addr):
         if addr in self.addresses:
             raise AddressReuse(addr)
+        # Prefix conflicts: a tupled address nested under (or enclosing)
+        # another site's path would collide in the choice trie — e.g.
+        # ``("x", "y")`` after ``"x"``. The reference leaves this check
+        # unimplemented (its ``test_tupled_address_conflict`` is
+        # skipped); here it is an AddressReuse at trace time.
+        t = addr if isinstance(addr, tuple) else (addr,)
+        for seen in self.addresses:
+            s = seen if isinstance(seen, tuple) else (seen,)
+            k = min(len(s), len(t))
+            if s[:k] == t[:k]:
+                raise AddressReuse(addr)
         self.addresses.append(addr)
 
     def record(self, subtrace: Trace):

@@ -274,3 +274,51 @@ class TestSampleShape:
         assert jnp.allclose(score, want, atol=1e-6)
         tr, w = f.importance(jax.random.key(0), chm, ())
         assert jnp.allclose(w, want, atol=1e-6)
+
+
+class TestTupledAddresses:
+    """Parity: reference ``tests/core/generative/test_core.py``
+    ``test_tupled_address`` (+ the conflict check the reference skips
+    as unimplemented)."""
+
+    def test_tupled_address_round_trip(self):
+        @g.gen
+        def f():
+            x = g.normal(0.0, 1.0) @ ("x", "x0")
+            y = g.normal(x, 1.0) @ "y"
+            return y
+
+        tr = f.simulate(jax.random.key(0), ())
+        chm = tr.get_choices()
+        x = chm["x", "x0"]
+        proj = tr.project(
+            jax.random.key(1), g.Selection.at["x", "x0"]
+        )
+        assert jnp.allclose(proj, jss.norm.logpdf(x, 0.0, 1.0))
+        score, _ = f.assess(chm, ())
+        assert jnp.allclose(score, tr.get_score(), atol=1e-6)
+        new_tr, w, _, _ = tr.update(
+            jax.random.key(2), g.C["x", "x0"].set(0.5)
+        )
+        assert float(new_tr.get_choices()["x", "x0"]) == 0.5
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-6
+        )
+
+    def test_tupled_address_conflict(self):
+        @g.gen
+        def bad():
+            a = g.normal(0.0, 1.0) @ ("x", "y")
+            b = g.normal(0.0, 1.0) @ "x"
+            return a + b
+
+        with pytest.raises(g.AddressReuse):
+            bad.simulate(jax.random.key(0), ())
+
+    def test_singleton_tuple_is_plain_address(self):
+        @g.gen
+        def f():
+            return g.normal(0.0, 1.0) @ ("x",)
+
+        tr = f.simulate(jax.random.key(0), ())
+        assert tr.get_choices()["x"] is not None
