@@ -344,16 +344,26 @@ class GenerativeFunctionClosure(Pytree, Generic[R]):
         if self.kwargs:
             kw = dict(self.kwargs)
             ss = kw.pop("sample_shape", None)
-            if ss is not None and not kw and hasattr(self.gen_fn, "iid"):
+            gf, args = self.gen_fn, self.args
+            if kw and hasattr(gf, "bind_kwargs"):
+                # Named distribution parameters — ``normal(loc=0.,
+                # scale=1.) @ "x"`` — resolved to positional args at
+                # trace time (parity: reference TFP kwargs).
+                args = gf.bind_kwargs(args, kw)
+                kw = {}
+            if ss is not None and hasattr(gf, "iid"):
                 # ``normal(0., 1., sample_shape=Const((2, 2))) @ "x"``:
                 # an iid block with a static leading shape (parity:
                 # reference TFP sample_shape).
                 shape = ss.value if isinstance(ss, Const) else ss
+                gf, ss = gf.iid(shape), None
+            if ss is not None:
+                kw["sample_shape"] = ss
+            if kw:
                 return trace_here(
-                    addr, self.gen_fn.iid(shape), self.args
+                    addr, gf.handle_kwargs(), (args, kw)
                 )
-            gf = self.gen_fn.handle_kwargs()
-            return trace_here(addr, gf, (self.args, dict(self.kwargs)))
+            return trace_here(addr, gf, args)
         return trace_here(addr, self.gen_fn, self.args)
 
     # Direct GFI passthrough on the closed-over args:

@@ -294,6 +294,56 @@ class ExactDensity(Distribution):
             return jnp.sum(lp)
         return lp
 
+    def bind_kwargs(self, args: tuple, kwargs: dict) -> tuple:
+        """Resolve named distribution parameters to positional args —
+        ``normal(loc=0., scale=1.)``, ``categorical(probs=[...])`` —
+        using the sampler's parameter names plus per-distribution
+        aliases (parity: reference TFP kwargs,
+        ``tests/.../test_distributions.py test_distribution_kwargs``)."""
+        import inspect
+
+        kw = dict(kwargs)
+        for name, (target, conv) in (self.kwarg_aliases() or {}).items():
+            if name in kw:
+                if target in kw:
+                    raise TypeError(
+                        f"{self!r}: both '{name}' and '{target}' given"
+                    )
+                kw[target] = conv(kw.pop(name))
+        fn = getattr(self, "sampler", None) or self.sample
+        try:
+            params = [
+                p.name
+                for p in inspect.signature(fn).parameters.values()
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ][1:]  # drop the key
+        except (TypeError, ValueError):
+            params = []
+        if not params and kw:
+            raise TypeError(
+                f"{self!r} takes no named parameters, got {list(kw)}"
+            )
+        bound = []
+        for i, p in enumerate(params):
+            if i < len(args):
+                if p in kw:
+                    raise TypeError(
+                        f"{self!r}: '{p}' given positionally and by name"
+                    )
+                bound.append(args[i])
+            elif p in kw:
+                bound.append(kw.pop(p))
+            else:
+                raise TypeError(f"{self!r}: missing parameter '{p}'")
+        if kw:
+            raise TypeError(f"{self!r}: unknown parameters {list(kw)}")
+        return tuple(bound)
+
+    def kwarg_aliases(self) -> dict:
+        """Optional ``{alias: (param, converter)}`` map — e.g.
+        categorical's ``probs -> logits`` via log."""
+        return getattr(self, "aliases", None) or {}
+
     def iid(self, sample_shape) -> "IIDBlock":
         """An iid block of this distribution with a STATIC leading
         ``sample_shape``: the score is the joint (summed) log-density.
@@ -349,6 +399,7 @@ class ExactDensityFromCallables(ExactDensity):
     logpdf_fn: Callable = Pytree.static()
     name: str = Pytree.static(default="exact_density")
     support: Any = Pytree.static(default=None)
+    aliases: Any = Pytree.static(default=None)
 
     def sample(self, key, *args):
         return self.sampler(key, *args)
@@ -369,10 +420,14 @@ class ExactDensityFromCallables(ExactDensity):
 
 def exact_density(sample: Callable, logpdf: Callable,
                   name: str = "exact_density",
-                  support: Any = None) -> ExactDensityFromCallables:
+                  support: Any = None,
+                  aliases: Any = None) -> ExactDensityFromCallables:
     """Build an :class:`ExactDensity` from a sampler and a log-density.
     ``support`` (optional) is the support spec for automatic bijector
     selection — a string/tuple or a callable of the distribution args.
+    ``aliases`` (optional) maps alternative parameter names to
+    ``(param, converter)`` pairs for named-kwarg calls.
 
     Parity: reference ``distribution.py:436-476``."""
-    return ExactDensityFromCallables(sample, logpdf, name, support)
+    return ExactDensityFromCallables(sample, logpdf, name, support,
+                                     aliases)

@@ -450,6 +450,7 @@ bernoulli = exact_density(
     lambda key, logits: jr.bernoulli(key, jax.nn.sigmoid(logits)),
     _bernoulli_logits_logpmf,
     "bernoulli",
+    aliases={"probs": ("logits", lambda p: jsp.logit(_f(p)))},
 )
 
 
@@ -481,6 +482,7 @@ categorical = exact_density(
     lambda key, logits: jr.categorical(key, logits),
     _categorical_logpmf,
     "categorical",
+    aliases={"probs": ("logits", lambda p: jnp.log(_f(p)))},
 )
 
 #: Poisson(rate).

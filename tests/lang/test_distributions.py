@@ -265,3 +265,63 @@ class TestSupportMetadata:
             else:
                 low, high = spec
                 assert jnp.all((vs >= low) & (vs <= high)), name
+
+
+class TestDistributionKwargs:
+    """Named distribution parameters (parity: reference
+    ``test_distribution_kwargs`` / ``test_using_primitive_distributions``
+    kwarg spellings)."""
+
+    def test_kwargs_equal_positional_bitwise(self):
+        @g.gen
+        def m_kw():
+            return g.normal(loc=1.0, scale=2.0) @ "x"
+
+        @g.gen
+        def m_pos():
+            return g.normal(1.0, 2.0) @ "x"
+
+        t1 = m_kw.simulate(KEY, ())
+        t2 = m_pos.simulate(KEY, ())
+        assert float(t1.get_choices()["x"]) == float(t2.get_choices()["x"])
+        assert float(t1.get_score()) == float(t2.get_score())
+
+    def test_probs_aliases_exact(self):
+        @g.gen
+        def mc():
+            return g.categorical(probs=jnp.array([0.3, 0.7])) @ "c"
+
+        sc, _ = mc.assess(g.C["c"].set(1), ())
+        assert jnp.allclose(sc, jnp.log(0.7), atol=1e-6)
+
+        @g.gen
+        def mb():
+            return g.bernoulli(probs=0.4) @ "b"
+
+        sc, _ = mb.assess(g.C["b"].set(True), ())
+        assert jnp.allclose(sc, jnp.log(0.4), atol=1e-6)
+
+    def test_bad_kwargs_rejected(self):
+        @g.gen
+        def dup():
+            return g.normal(0.0, loc=1.0, scale=2.0) @ "x"
+
+        with pytest.raises(TypeError, match="positionally and by name"):
+            dup.simulate(KEY, ())
+
+        @g.gen
+        def typo():
+            return g.normal(loc=1.0, scales=2.0) @ "x"
+
+        with pytest.raises(TypeError, match="missing parameter"):
+            typo.simulate(KEY, ())
+
+    def test_kwargs_compose_with_sample_shape(self):
+        @g.gen
+        def ms():
+            return g.normal(
+                loc=0.0, scale=1.0, sample_shape=g.Const((4,))
+            ) @ "x"
+
+        tr = ms.simulate(KEY, ())
+        assert tr.get_retval().shape == (4,)
