@@ -81,6 +81,13 @@ class ScanTrace(Trace[Any]):
         return Indexed(self.inner.get_choices(), None, self.n)
 
     def get_inner_trace(self, address):
+        if isinstance(address, str):
+            # Named-site lookup: delegate structurally to the batched
+            # inner trace — the result is the site's subtrace with the
+            # lane/step axis leading (parity: reference
+            # ``test_get_subtrace_vmap`` / ``test_get_subtrace_scan``:
+            # per-lane scores sum to the total score).
+            return self.inner.get_inner_trace(address)
         return jtu.tree_map(lambda v: v[address], self.inner)
 
 

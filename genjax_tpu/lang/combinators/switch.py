@@ -63,10 +63,28 @@ class SwitchTrace(Trace[Any]):
         idx = self.get_idx()
         if isinstance(idx, int):
             return self.subtraces[idx].get_inner_trace(address)
-        # Traced index: select leafwise across branches (requires the
-        # address to exist with matching structure in every branch).
-        subs = [tr.get_inner_trace(address) for tr in self.subtraces]
-        return tree_choose(idx, subs)
+        # Traced index: select leafwise across branches when every
+        # branch has the address; with heterogeneous branches, return
+        # the unique possessing branch's subtrace directly (the caller
+        # is responsible for checking which branch is live — parity:
+        # reference ``test_get_subtrace_switch``).
+        subs, have = [], []
+        for k, tr in enumerate(self.subtraces):
+            try:
+                subs.append(tr.get_inner_trace(address))
+                have.append(k)
+            except (KeyError, NotImplementedError):
+                pass
+        if not subs:
+            raise KeyError(f"No subtrace at address {address!r}")
+        if len(subs) == 1:
+            return subs[0]
+        if len(subs) == len(self.subtraces):
+            return tree_choose(idx, subs)
+        raise NotImplementedError(
+            f"address {address!r} exists in branches {have} but not "
+            "all; select a branch with a concrete index first"
+        )
 
 
 @Pytree.dataclass

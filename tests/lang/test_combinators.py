@@ -689,3 +689,49 @@ class TestVmapArrayConstraints:
         assert jnp.array_equal(tr.get_retval(), r)
         assert jnp.allclose(tr.get_score(), score)
         assert jnp.allclose(score, w), "no weight change w/ same chm"
+
+
+class TestGetSubtrace:
+    """Parity: reference ``tests/core/generative/test_core.py``
+    ``test_get_subtrace_{switch,vmap,scan}``."""
+
+    def test_get_subtrace_switch(self):
+        @g.gen
+        def f():
+            return g.normal(0.0, 0.01) @ "x"
+
+        @g.gen
+        def g2():
+            return g.uniform(10.0, 11.0) @ "y"
+
+        @g.gen
+        def h():
+            flip = g.flip(0.5) @ "flip"
+            return f.or_else(g2)(flip, (), ()) @ "z"
+
+        tr = h.simulate(KEY, ())
+        flip_tr = tr.get_subtrace("flip")
+        if bool(flip_tr.get_retval()):
+            live = tr.get_subtrace("z", "x")
+        else:
+            live = tr.get_subtrace("z", "y")
+        assert jnp.allclose(
+            live.get_score(), tr.get_score() - flip_tr.get_score(),
+            atol=1e-6,
+        )
+
+    def test_get_subtrace_vmap(self):
+        vm = kernel.vmap(in_axes=0)
+        tr = vm.simulate(KEY, (jnp.arange(5.0),))
+        st = tr.get_subtrace("x")
+        assert st.get_score().shape == (5,)
+        assert jnp.allclose(jnp.sum(st.get_score()), tr.get_score())
+
+    def test_get_subtrace_scan(self):
+        sc = walk_step.scan(n=4)
+        tr = sc.simulate(KEY, (0.0, None))
+        st = tr.get_subtrace("x")
+        assert st.get_score().shape == (4,)
+        assert jnp.allclose(
+            jnp.sum(st.get_score()), tr.get_score(), atol=1e-6
+        )
