@@ -727,6 +727,10 @@ class Expectation(Pytree):
     prog: ADEVProgram
 
     def jvp_estimate(self, key: jax.Array, dual_args: tuple) -> Dual:
+        if isinstance(dual_args, Dual):
+            # Single-argument ergonomics (parity: reference tests call
+            # ``jvp_estimate(key, Dual(p, 1.0))`` without the tuple).
+            dual_args = (dual_args,)
         return self.prog.jvp_estimate(key, dual_args, lambda v: v)
 
     def estimate(self, key: jax.Array, args: tuple):

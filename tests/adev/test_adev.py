@@ -6,6 +6,7 @@ of expectations. Mirrors ``/root/reference/tests/adev/test_adev.py``
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from genjax_tpu.adev import (
     Dual,
@@ -351,3 +352,31 @@ class TestEnumUnderVmap:
         np.testing.assert_allclose(
             np.asarray(gs.mean(axis=0)), np.ones(2), atol=0.03
         )
+
+
+class TestFlipCondExactness:
+    """Parity: reference ``tests/adev/test_adev.py``
+    ``test_flip_cond_exact_{forward,reverse}_mode_correctness`` — the
+    enumerated-flip + lax.cond loss has exact derivative p - 1/2."""
+
+    def test_forward_mode(self):
+        @expectation
+        def flip_exact_loss(p):
+            b = flip_enum(p)
+            return jax.lax.cond(b, lambda _: 0.0, lambda p: -p / 2.0, p)
+
+        key = jax.random.key(314159)
+        for p in [0.1, 0.3, 0.5, 0.7, 0.9]:
+            d = jax.jit(flip_exact_loss.jvp_estimate)(key, Dual(p, 1.0))
+            assert float(d.tangent) == pytest.approx(p - 0.5, rel=1e-4)
+
+    def test_reverse_mode(self):
+        @expectation
+        def flip_exact_loss(p):
+            b = flip_enum(p)
+            return jax.lax.cond(b, lambda _: 0.0, lambda p: -p / 2.0, p)
+
+        key = jax.random.key(314159)
+        for p in [0.1, 0.3, 0.7]:
+            gr = jax.jit(flip_exact_loss.grad_estimate)(key, (p,))
+            assert float(gr[0]) == pytest.approx(p - 0.5, abs=1e-4)
