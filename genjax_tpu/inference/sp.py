@@ -48,6 +48,18 @@ class Target(Pytree):
     args: tuple
     constraint: ChoiceMap
 
+    def __post_init__(self):
+        # A Marginal's density is itself estimated — using one as a
+        # Target's model would silently nest estimators with the wrong
+        # weight semantics (parity: reference ``sp.py:46-49`` raises at
+        # construction; ``test_smc.py test_non_marginal_target``).
+        if isinstance(self.p, Marginal):
+            raise TypeError(
+                "Target does not accept Marginal models; target the "
+                "underlying generative function and constrain/select "
+                "its addresses instead."
+            )
+
     def importance(self, key: jax.Array, chm: ChoiceMap) -> tuple[Trace, Weight]:
         """Generate from ``p`` under the merged constraint."""
         merged = self.constraint | chm

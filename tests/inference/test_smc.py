@@ -9,6 +9,7 @@ functional reference point (p̂ ≈ 0.60 / 0.37, ``README.md:109-123``).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import genjax_tpu as g
 from genjax_tpu.inference import (
@@ -281,3 +282,18 @@ class TestMarginalAsSite:
             + 0.3 * jnp.exp(jss.norm.logpdf(v, 4.0, 1.0))
         )
         assert jnp.abs(logz - closed) < 5e-2
+
+
+def test_non_marginal_target():
+    """Parity: reference ``test_smc.py test_non_marginal_target`` —
+    a Marginal model is rejected at Target construction."""
+    @g.gen
+    def model():
+        idx = g.categorical(probs=jnp.array([0.5, 0.25, 0.25])) @ "idx"
+        means = jnp.array([0.0, 10.0, 11.0])
+        x = g.normal(means[idx], 1.0) @ "x"
+        return x
+
+    marg = model.marginal(selection=g.Selection.at["x"])
+    with pytest.raises(TypeError, match="Marginal"):
+        g.Target(marg, (), g.C["x"].set(1.0))
