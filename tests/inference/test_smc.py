@@ -296,4 +296,4 @@ def test_non_marginal_target():
 
     marg = model.marginal(selection=g.Selection.at["x"])
     with pytest.raises(TypeError, match="Marginal"):
-        g.Target(marg, (), g.C["x"].set(1.0))
+        Target(marg, (), g.C["x"].set(1.0))
