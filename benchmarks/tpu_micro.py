@@ -219,6 +219,62 @@ def exp_k0_recursive(key):
     return out
 
 
+def exp_hmm_step(key):
+    """Discrete-HMM propagate+weight step formulations at 512k
+    particles, S=64 (config 3's inner loop, resampling excluded):
+    - gumbel:   one-hot matmul logits + categorical (current)
+    - invcdf:   one-hot matmul row-CDF + compare-count (1 uniform per
+                particle instead of P*S gumbels, no argmax)
+    - invcdf_bf16: same with bf16 contraction
+    """
+    import numpy as np
+
+    P, S = 1 << 19, 64
+    kt, ko = jax.random.split(key)
+    trans_logits = jax.random.normal(kt, (S, S))
+    obs_logits = jax.nn.log_softmax(
+        jax.random.normal(ko, (S, S)), axis=-1
+    )
+    trans_probs = jax.nn.softmax(trans_logits, axis=-1)
+    trans_cdf = jnp.cumsum(trans_probs, axis=-1)
+    from genjax_tpu.ops.onehot import one_hot_rows, take_elems, take_rows
+
+    obs_col = obs_logits[:, 3]
+
+    def gumbel(k):
+        zs = jax.random.categorical(k, jnp.zeros(S), shape=(P,))
+        def body(c, i):
+            kk = jax.random.fold_in(k, i)
+            logits = take_rows(trans_logits, c)
+            z = jax.random.categorical(kk, logits, axis=-1)
+            return z, jnp.sum(take_elems(obs_col, z))
+        zT, s = jax.lax.scan(body, zs, jnp.arange(8))
+        return s
+
+    def invcdf(k, dtype=jnp.float32):
+        zs = jax.random.categorical(k, jnp.zeros(S), shape=(P,))
+        cdf = trans_cdf.astype(dtype)
+        def body(c, i):
+            kk = jax.random.fold_in(k, i)
+            u = jax.random.uniform(kk, (P, 1), dtype=dtype)
+            oh = one_hot_rows(c, S, dtype=dtype)
+            rowcdf = jnp.dot(oh, cdf, preferred_element_type=dtype)
+            z = jnp.sum(rowcdf < u, axis=-1).astype(jnp.int32)
+            z = jnp.minimum(z, S - 1)
+            return z, jnp.sum(take_elems(obs_col, z))
+        zT, s = jax.lax.scan(body, zs, jnp.arange(8))
+        return s
+
+    out = {
+        "gumbel": scan_time(gumbel, key, reps=4) / 8,
+        "invcdf": scan_time(invcdf, key, reps=4) / 8,
+        "invcdf_bf16": scan_time(
+            lambda k: invcdf(k, jnp.bfloat16), key, reps=4
+        ) / 8,
+    }
+    return out
+
+
 def exp_bf16(key):
     """bf16 particle state vs f32 on the full tracking filter at 1M x 32
     (weights stay f32): throughput each + |dlogz| accuracy check."""

@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
 from genjax_tpu.lang.static import gen
 from genjax_tpu.lang.distributions import categorical
 from genjax_tpu.lang.distributions.discrete_hmm import (
@@ -32,7 +35,8 @@ def hmm_model(config: DiscreteHMMConfiguration, n_steps: int):
 
 
 def hmm_bootstrap_filter(config: DiscreteHMMConfiguration,
-                         n_particles: int, **pf_kwargs):
+                         n_particles: int, sampling: str = "invcdf",
+                         **pf_kwargs):
     """TPU-native bootstrap particle filter for a discrete HMM:
     ``run(key, observations) -> (FilterState, log_z_per_step)``.
 
@@ -40,14 +44,34 @@ def hmm_bootstrap_filter(config: DiscreteHMMConfiguration,
     (``ops/onehot.py``) instead of per-particle row gathers — the
     transition row select rides the MXU — and one key per step
     (``batched=True`` path of :func:`~genjax_tpu.inference.pf
-    .particle_filter`). Measured on a v5e at S=64: 2x the gather
-    formulation at 32k particles and 395M particle-steps/s at 1M
-    (BASELINE.md round 2). ``observations`` is the full ``(T,)`` int
-    sequence; the first entry conditions the init."""
+    .particle_filter`). ``sampling``:
+
+    - ``"invcdf"`` (default): transitions sampled by inverse CDF — the
+      one-hot matmul contracts the per-state transition CDF, and the
+      new state is a compare-count against ONE uniform per particle.
+      Exactly the transition distribution (to f32 CDF roundoff), but
+      no P×S gumbel field and no argmax: measured 1.78x the gumbel
+      step at 512k particles, S=64 (``tpu_micro.py --exp hmm_step``).
+    - ``"gumbel"``: logits matmul + ``jax.random.categorical`` (the
+      round-2 formulation; different random stream, same law).
+
+    ``observations`` is the full ``(T,)`` int sequence; the first
+    entry conditions the init."""
     import jax
 
     from genjax_tpu.inference.pf import particle_filter
-    from genjax_tpu.ops.onehot import take_elems, take_rows
+    from genjax_tpu.ops.onehot import one_hot_rows, take_elems, take_rows
+
+    if sampling not in ("invcdf", "gumbel"):
+        raise ValueError(f"unknown sampling scheme {sampling!r}")
+    s_states = config.transition_logits.shape[0]
+    # Inverse-CDF table. The count z = #{j : cdf_j < u} is clipped to
+    # S-1 below (f32 cumsum roundoff can leave cdf[-1] < 1, folding the
+    # deficit into the last bucket; an exact-tail +inf entry would NaN
+    # the 0·inf terms of the one-hot contraction).
+    trans_cdf = jnp.cumsum(
+        jax.nn.softmax(config.transition_logits, axis=-1), axis=-1
+    )
 
     def make(observations):
         def init(key):
@@ -58,13 +82,27 @@ def hmm_bootstrap_filter(config: DiscreteHMMConfiguration,
                 config.observation_logits[:, observations[0]], z
             )
 
-        def step(key, zs, o):
+        def step_gumbel(key, zs, o):
             logits = take_rows(config.transition_logits, zs)
             z_new = jax.random.categorical(key, logits, axis=-1)
             return z_new, take_elems(
                 config.observation_logits[:, o], z_new
             )
 
+        def step_invcdf(key, zs, o):
+            u = jax.random.uniform(key, (n_particles, 1))
+            oh = one_hot_rows(zs, s_states)
+            rowcdf = jnp.dot(
+                oh, trans_cdf, preferred_element_type=jnp.float32
+            )
+            z_new = jnp.minimum(
+                jnp.sum(rowcdf < u, axis=-1), s_states - 1
+            ).astype(zs.dtype)
+            return z_new, take_elems(
+                config.observation_logits[:, o], z_new
+            )
+
+        step = step_invcdf if sampling == "invcdf" else step_gumbel
         return particle_filter(
             init, step, n_particles, batched=True, **pf_kwargs
         )

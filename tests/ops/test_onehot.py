@@ -104,3 +104,25 @@ def test_hmm_bootstrap_filter_sharded_bitwise():
     )
     shards = {sh.device for sh in fs1.particles.addressable_shards}
     assert len(shards) == len(jax.devices())
+
+
+def test_hmm_bootstrap_filter_gumbel_path_logz():
+    """Both transition samplers target the same law: the gumbel
+    (categorical) path also matches the exact forward filter."""
+    from genjax_tpu.lang.distributions.discrete_hmm import (
+        DiscreteHMMConfiguration, forward_filter,
+    )
+    from genjax_tpu.inference.exact_testbed import sample_problem
+    from genjax_tpu.models import hmm_bootstrap_filter
+
+    S, T = 16, 24
+    config = DiscreteHMMConfiguration.circulant(S, S)
+    obs = sample_problem(jax.random.key(3), config, T).observations
+    _, exact = forward_filter(config, obs)
+    run = hmm_bootstrap_filter(config, 4096, sampling="gumbel")
+    fs, _ = jax.jit(run)(jax.random.key(5), obs)
+    assert abs(float(fs.log_z) - float(exact)) < 0.25
+
+    import pytest
+    with pytest.raises(ValueError, match="sampling"):
+        hmm_bootstrap_filter(config, 64, sampling="nope")
