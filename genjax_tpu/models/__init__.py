@@ -2,6 +2,7 @@
 
 from genjax_tpu.models.ssm import (
     kalman_filter,
+    kalman_smoother,
     lgssm_model,
     nonlinear_tracking_model,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "hmm_bootstrap_filter",
     "hmm_model",
     "kalman_filter",
+    "kalman_smoother",
     "lgssm_model",
     "nonlinear_tracking_model",
 ]
