@@ -218,6 +218,7 @@ def trace_csmc(
     observations: jax.Array,
     latent_addresses: tuple,
     n_particles: int,
+    ancestor_sampling: bool = False,
 ):
     """Build ``run(key, ref) -> (new_ref, log_z)``: one conditional-SMC
     sweep over TRACES of a ``Scan`` model, lane ``K-1`` pinned to the
@@ -233,10 +234,16 @@ def trace_csmc(
     itself), prior refresh of the cloned futures (``Regenerate`` of
     steps > t-1 — the weight-0 refresh that makes the filter exactly
     the bootstrap CSMC, no shared-future coupling), then assimilation
-    of observation t via an O(1) ``IndexRequest`` repair. Ancestor
-    sampling needs the transition density of a single step — use the
-    array-level :func:`conditional_bootstrap_filter` with
-    ``trans_logpdf`` when mixing at small N over long series matters.
+    of observation t via an O(1) ``IndexRequest`` repair.
+
+    ``ancestor_sampling=True`` (PGAS, Lindsten et al. 2014) resamples
+    the retained lane's ancestor at every step — entirely through the
+    GFI: the transition score of the reference's step-t latents
+    against each lane's carry is one ``assess`` of the inner step
+    gen fn (the shared observation term cancels in the categorical),
+    and the ancestor splice is an ``Update`` of the chosen lane's
+    trace pinning steps ≥ t back to the reference. Breaks path
+    degeneracy so the sampler mixes at small N over long series.
 
     New scope relative to the reference: its only conditional-SMC
     artifact is the single-step retained importance lane
@@ -262,6 +269,9 @@ def trace_csmc(
         chm = tr.get_choices()
         return {addr: chm[:, addr] for addr in latent_addresses}
 
+    inner_gf = scan_model.inner
+    init_carry, scan_xs = model_args[0], model_args[1]
+
     def run(key: jax.Array, ref):
         k_init, k_pin, k_scan, k_pick = jax.random.split(key, 4)
         init_keys = jax.vmap(
@@ -272,19 +282,55 @@ def trace_csmc(
         )(init_keys)
 
         # Pin lane K-1's latents to the reference trajectory.
+        pin_full = pin_constraint(ref)
         tr_ref = _gather_lanes(trs, k - 1)
-        tr_ref, _w, _rd, _bwd = tr_ref.update(k_pin, pin_constraint(ref))
+        tr_ref, _w, _rd, _bwd = tr_ref.update(k_pin, pin_full)
         trs = _set_lane(trs, k - 1, tr_ref)
 
         def step(carry, inp):
             t, obs_t = inp
             trs, lw, log_z = carry
             k_t = jax.random.fold_in(k_scan, t)
-            k_anc, k_refresh, k_edit = jax.random.split(k_t, 3)
+            k_anc, k_refresh, k_edit, k_as, k_splice = (
+                jax.random.split(k_t, 5)
+            )
 
             # Conditional multinomial resampling: free lanes draw
-            # ancestors from the weights, lane K-1 keeps itself.
-            retained = _gather_lanes(trs, k - 1)
+            # ancestors from the weights; the retained lane keeps
+            # itself — or, under PGAS, swaps its history for an
+            # ancestor drawn from lw + transition score to the
+            # reference's step-t latents.
+            if ancestor_sampling:
+                chm_t = ChoiceMap.entry(obs_t, obs_address)
+                for addr in latent_addresses:
+                    chm_t = chm_t | ChoiceMap.entry(ref[addr][t], addr)
+                xs_t = (
+                    None if scan_xs is None
+                    else jtu.tree_map(lambda v: v[t], scan_xs)
+                )
+
+                def lane_trans_score(tr):
+                    prev = tr.get_inner_trace(
+                        jnp.maximum(t - 1, 0)
+                    ).get_retval()[0]
+                    carry_in = jtu.tree_map(
+                        lambda a, b: jnp.where(t == 0, jnp.asarray(a), b),
+                        init_carry, prev,
+                    )
+                    score, _ = inner_gf.assess(chm_t, (carry_in, xs_t))
+                    return score
+
+                as_lw = lw + jax.vmap(lane_trans_score)(trs)
+                b_as = jax.random.categorical(k_as, as_lw)
+                tr_anc = _gather_lanes(trs, b_as)
+                # Splice: the chosen ancestor's past + the reference's
+                # future (steps >= t pinned back to ref).
+                cstr = pin_full.filter(Selection.idx_above(t - 1))
+                retained, _w2, _rd2, _bwd2 = tr_anc.update(
+                    k_splice, cstr
+                )
+            else:
+                retained = _gather_lanes(trs, k - 1)
             anc = resample_indices(k_anc, lw, k - 1, method="multinomial")
             new_trs = _gather_lanes(trs, anc)
 
@@ -348,6 +394,7 @@ def trace_particle_gibbs(
     latent_addresses: tuple,
     n_particles: int,
     n_iters: int,
+    ancestor_sampling: bool = False,
 ):
     """Build ``run(key, init_ref=None) -> TraceParticleGibbsResult``:
     ``n_iters`` GFI-native conditional-SMC sweeps over a ``Scan``
@@ -358,6 +405,7 @@ def trace_particle_gibbs(
     csmc = trace_csmc(
         scan_model, model_args, obs_address, observations,
         latent_addresses, n_particles,
+        ancestor_sampling=ancestor_sampling,
     )
 
     def run(key: jax.Array, init_ref=None):

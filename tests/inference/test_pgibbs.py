@@ -210,3 +210,59 @@ class TestTraceParticleGibbs:
             np.asarray(new_ref["x"]), np.asarray(ref["x"])
         )
         assert jnp.isfinite(log_z)
+
+
+class TestTracePGAS:
+    """GFI-native ancestor sampling: transition scores via assess,
+    ancestor splice via Update — no hand-written densities."""
+
+    def _series(self, t=40):
+        key = jax.random.key(5)
+        ks = jax.random.split(key, 2 * t)
+        x, ys = 0.0, []
+        for i in range(t):
+            x = A * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
+            ys.append(
+                x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1])
+            )
+        return jnp.stack(ys)
+
+    def _model(self, t):
+        import genjax_tpu as g
+
+        @g.gen
+        def step(carry, _):
+            prev = carry
+            z = g.normal(A * prev, jnp.sqrt(Q)) @ "x"
+            g.normal(z, jnp.sqrt(R)) @ "y"
+            return z, z
+
+        return step.scan(n=t)
+
+    def test_pgas_mixes_and_matches_smoother(self):
+        from genjax_tpu.inference.pgibbs import trace_particle_gibbs
+
+        t = 40
+        ys = self._series(t)
+        model = self._model(t)
+
+        def lag1(z):
+            z = z - z.mean()
+            return float((z[1:] * z[:-1]).mean() / (z * z).mean())
+
+        common = (model, (0.0, None), "y", ys, ("x",), 16, 300)
+        r_pg = jax.jit(trace_particle_gibbs(*common))(KEY)
+        r_pgas = jax.jit(
+            trace_particle_gibbs(*common, ancestor_sampling=True)
+        )(KEY)
+        ac_pg = lag1(np.asarray(r_pg.paths["x"])[50:, 0])
+        ac_pgas = lag1(np.asarray(r_pgas.paths["x"])[50:, 0])
+        assert ac_pgas < ac_pg, (ac_pgas, ac_pg)
+        assert ac_pgas < 0.5
+
+        paths = np.asarray(r_pgas.paths["x"])[50:]
+        _, mu_s, p_s = kalman_smoother(ys, A, Q, R, mu0=0.0, p0=0.0)
+        assert np.abs(paths.mean(0) - np.asarray(mu_s)).max() < 0.2
+        assert np.abs(
+            paths.std(0) - np.sqrt(np.asarray(p_s))
+        ).max() < 0.2
