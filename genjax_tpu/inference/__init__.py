@@ -34,6 +34,11 @@ from genjax_tpu.inference.pt import (
     ParallelTemperingResult,
     parallel_tempering,
 )
+from genjax_tpu.inference.pmmh import (
+    PMMHResult,
+    gaussian_walk_proposal,
+    pmmh,
+)
 from genjax_tpu.inference.pgibbs import (
     ParticleGibbsResult,
     TraceParticleGibbsResult,
@@ -79,6 +84,9 @@ __all__ = [
     "MALA",
     "MAPResult",
     "ParallelTemperingResult",
+    "PMMHResult",
+    "gaussian_walk_proposal",
+    "pmmh",
     "ParticleGibbsResult",
     "TraceParticleGibbsResult",
     "conditional_bootstrap_filter",

@@ -1,0 +1,105 @@
+"""PMMH vs the exact grid posterior: the Kalman filter gives the exact
+marginal likelihood of a 1-D LGSSM at any parameter value, so the true
+p(a | y) is computable by quadrature — the PMMH chain (whose likelihood
+is a noisy 512-particle bootstrap estimate) must reproduce it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genjax_tpu.inference.pmmh import gaussian_walk_proposal, pmmh
+from genjax_tpu.inference.pf import particle_filter
+from genjax_tpu.models.ssm import kalman_filter
+
+A_TRUE, Q, R, T = 0.7, 0.4, 0.4, 60
+KEY = jax.random.key(314159)
+
+
+def _data():
+    ks = jax.random.split(jax.random.key(11), 2 * T)
+    x, ys = 0.0, []
+    for i in range(T):
+        x = A_TRUE * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
+        ys.append(x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1]))
+    return jnp.stack(ys)
+
+
+YS = _data()
+N_PART = 512
+
+
+def _log_marginal_est(key, a):
+    """Bootstrap-PF logZ for transition coefficient ``a`` (traced)."""
+
+    def init2(k):
+        x = jnp.sqrt(Q) * jax.random.normal(k, (N_PART,))
+        lw = jax.scipy.stats.norm.logpdf(YS[0], x, jnp.sqrt(R))
+        return x, lw
+
+    def step(k, xs, y):
+        xs = a * xs + jnp.sqrt(Q) * jax.random.normal(k, xs.shape)
+        lw = jax.scipy.stats.norm.logpdf(y, xs, jnp.sqrt(R))
+        return xs, lw
+
+    pf = particle_filter(init2, step, N_PART, batched=True)
+    final, _ = pf(key, YS[1:])
+    return final.log_z
+
+
+def _log_prior(a):
+    # Uniform(-1, 1) on the stable region.
+    return jnp.where(jnp.abs(a) < 1.0, 0.0, -jnp.inf)
+
+
+def _exact_grid_posterior():
+    grid = jnp.linspace(-0.95, 0.95, 191)
+    lls = jax.vmap(
+        lambda a: kalman_filter(YS, a, Q, R, mu0=0.0, p0=0.0)[0]
+    )(grid)
+    w = jnp.exp(lls - jnp.max(lls))
+    w = w / jnp.sum(w)
+    mean = jnp.sum(grid * w)
+    std = jnp.sqrt(jnp.sum((grid - mean) ** 2 * w))
+    return float(mean), float(std)
+
+
+class TestPMMH:
+    def test_posterior_matches_exact_grid(self):
+        run = pmmh(_log_marginal_est, _log_prior, n_iters=3000,
+                   proposal=0.08)
+        res = jax.jit(lambda k: run(k, jnp.asarray(0.0)))(KEY)
+        chain = np.asarray(res.thetas)[500:]
+        mean, std = _exact_grid_posterior()
+        assert abs(chain.mean() - mean) < 0.05, (chain.mean(), mean)
+        assert abs(chain.std() - std) < 0.05, (chain.std(), std)
+        assert 0.05 < float(res.accept_rate) < 0.9
+
+    def test_rejected_sweeps_keep_theta_and_logz(self):
+        """With an impossible prior everywhere but theta0, nothing
+        moves and logZ stays at its initial estimate."""
+
+        def prior_point(a):
+            return jnp.where(jnp.abs(a - 0.3) < 1e-6, 0.0, -jnp.inf)
+
+        run = pmmh(_log_marginal_est, prior_point, n_iters=50,
+                   proposal=0.5)
+        res = jax.jit(lambda k: run(k, jnp.asarray(0.3)))(KEY)
+        np.testing.assert_allclose(np.asarray(res.thetas), 0.3)
+        assert float(res.accept_rate) == 0.0
+        assert np.unique(np.asarray(res.log_zs)).size == 1
+
+    def test_pytree_theta_and_custom_proposal(self):
+        """θ as a dict pytree with a per-leaf proposal std."""
+
+        def est(key, theta):
+            return _log_marginal_est(key, theta["a"])
+
+        def prior(theta):
+            return _log_prior(theta["a"])
+
+        prop = gaussian_walk_proposal({"a": 0.08})
+        run = pmmh(est, prior, n_iters=200, proposal=prop)
+        res = jax.jit(lambda k: run(k, {"a": jnp.asarray(0.2)}))(KEY)
+        assert res.thetas["a"].shape == (200,)
+        assert jnp.isfinite(res.log_zs).all()
