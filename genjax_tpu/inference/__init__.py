@@ -39,6 +39,7 @@ from genjax_tpu.inference.pmmh import (
     gaussian_walk_proposal,
     pmmh,
 )
+from genjax_tpu.inference.smc2 import SMC2Result, smc2
 from genjax_tpu.inference.pgibbs import (
     ParticleGibbsResult,
     TraceParticleGibbsResult,
@@ -85,8 +86,10 @@ __all__ = [
     "MAPResult",
     "ParallelTemperingResult",
     "PMMHResult",
+    "SMC2Result",
     "gaussian_walk_proposal",
     "pmmh",
+    "smc2",
     "ParticleGibbsResult",
     "TraceParticleGibbsResult",
     "conditional_bootstrap_filter",
