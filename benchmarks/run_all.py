@@ -324,21 +324,12 @@ def config7_smc2(small: bool):
     with PMMH rejuvenation). Unit: inner particle-steps/s
     (N_θ · N_x · T / wall). The evidence estimate is checked against
     exact Kalman quadrature over the parameter grid."""
-    import numpy as np
-
     from genjax_tpu.inference import smc2
-    from genjax_tpu.models import kalman_filter
+    from genjax_tpu.models import lgssm_grid_posterior, simulate_lgssm_data
 
     A_TRUE, Q, R = 0.7, 0.4, 0.4
     T = 50
-    ks = jax.random.split(jax.random.key(11), 2 * T)
-    x, ys = 0.0, []
-    for i in range(T):
-        x = A_TRUE * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
-        ys.append(
-            x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1])
-        )
-    ys = jnp.stack(ys)
+    ys = simulate_lgssm_data(jax.random.key(11), A_TRUE, Q, R, T)[1]
 
     n_theta, n_x = (1024, 1024) if not small else (32, 32)
     run = smc2(
@@ -355,14 +346,10 @@ def config7_smc2(small: bool):
     fn = jax.jit(lambda k: run(k, ys).log_z)
     logz, dt = _sync_time(fn, jax.random.key(1))
 
-    grid = jnp.linspace(-0.949, 0.949, 191)
-    lls = jax.vmap(
-        lambda a: kalman_filter(ys, a, Q, R, mu0=0.0, p0=0.0)[0]
-    )(grid)
-    exact = float(
-        jax.scipy.special.logsumexp(lls)
-        + jnp.log(grid[1] - grid[0]) - jnp.log(1.9)
+    _, _, exact = lgssm_grid_posterior(
+        ys, Q, R, jnp.linspace(-0.949, 0.949, 191)
     )
+    exact = float(exact)
     # Cost model per inner particle-step: propagate+weight (~20 flop,
     # 16 B) plus the per-row multinomial resample (~24 B amortized);
     # rejuvenation re-runs add a data-dependent constant factor not

@@ -227,7 +227,6 @@ def exp_hmm_step(key):
                 particle instead of P*S gumbels, no argmax)
     - invcdf_bf16: same with bf16 contraction
     """
-    import numpy as np
 
     P, S = 1 << 19, 64
     kt, ko = jax.random.split(key)

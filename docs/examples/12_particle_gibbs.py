@@ -12,13 +12,9 @@ from genjax_tpu.models import kalman_smoother
 
 if __name__ == "__main__":
     A, Q, R, T = 0.9, 0.5, 0.5, 10
-    key = jax.random.key(7)
-    ks = jax.random.split(key, 2 * T)
-    x, ys = 0.0, []
-    for i in range(T):
-        x = A * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
-        ys.append(x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1]))
-    ys = jnp.stack(ys)
+    from genjax_tpu.models import simulate_lgssm_data
+
+    _, ys = simulate_lgssm_data(jax.random.key(7), A, Q, R, T)
 
     # --- array-level PGAS: hand-written kernels, ancestor sampling ----
     init = lambda k, n: jnp.sqrt(A * A + Q) * jax.random.normal(k, (n,))

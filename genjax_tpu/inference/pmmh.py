@@ -37,15 +37,24 @@ class PMMHResult(NamedTuple):
 
 def gaussian_walk_proposal(step_std):
     """Symmetric Gaussian random-walk proposal over a θ pytree.
-    ``step_std`` is a scalar or a pytree matching θ."""
+    ``step_std`` is a scalar (broadcast to every leaf) or a pytree
+    exactly matching θ's structure (per-leaf stds); any other
+    structure raises at proposal time rather than silently
+    broadcasting."""
 
     def propose(key, theta):
         leaves, treedef = jtu.tree_flatten(theta)
-        stds = (
-            jtu.tree_leaves(step_std)
-            if jtu.tree_structure(step_std) == treedef
-            else [step_std] * len(leaves)
-        )
+        std_leaves = jtu.tree_leaves(step_std)
+        if jtu.tree_structure(step_std) == treedef:
+            stds = std_leaves
+        elif len(std_leaves) == 1 and jnp.ndim(std_leaves[0]) == 0:
+            stds = [std_leaves[0]] * len(leaves)
+        else:
+            raise TypeError(
+                "gaussian_walk_proposal: step_std must be a scalar or "
+                f"a pytree matching theta (theta structure {treedef}, "
+                f"step_std structure {jtu.tree_structure(step_std)})"
+            )
         keys = jax.random.split(key, len(leaves))
         new = [
             jnp.asarray(l)

@@ -17,7 +17,12 @@ ensemble is a (N_θ, N_x) lane grid — propagate/weight are elementwise
 over 65k+ lanes, inner resampling is a per-θ-row multinomial (sorted
 uniforms, no binary search), and the O(t)-cost PMMH re-run is a masked
 fixed-length scan behind ``lax.cond`` so the common no-rejuvenation
-step pays nothing.
+step pays nothing. CAVEAT: do NOT ``jax.vmap`` whole SMC² runs —
+under vmap the ``lax.cond`` lowers to both-branches-execute, so every
+step would pay the full rejuvenation re-run. For replicated runs,
+launch separate jit calls (or pmap/shard_map over a replica axis,
+which preserves ``cond``); to scale ONE run, shard the θ-lane axis
+over the mesh (tests/parallel/test_sharded_smc2.py).
 
 Model interface (theta-first variants of ``pf.particle_filter``'s
 batched mode; ``theta`` is any pytree, broadcast over lanes):
@@ -50,7 +55,7 @@ class SMC2Result(NamedTuple):
     thetas: Any              # (N_theta, ...) final parameter particles
     log_weights: jax.Array   # (N_theta,) final theta log-weights
     log_z: jax.Array         # model evidence estimate log p(y_{1:T})
-    ess_history: jax.Array   # (T,) theta-ESS before each assimilation
+    ess_history: jax.Array   # (T-1,) theta-ESS before assimilating y_t, t=1..T-1
     rejuv_accept: jax.Array  # mean PMMH acceptance over fired rejuvenations
 
 

@@ -3,8 +3,10 @@
 from genjax_tpu.models.ssm import (
     kalman_filter,
     kalman_smoother,
+    lgssm_grid_posterior,
     lgssm_model,
     nonlinear_tracking_model,
+    simulate_lgssm_data,
 )
 from genjax_tpu.models.regression import hierarchical_regression
 from genjax_tpu.models.mixture import gaussian_mixture
@@ -17,6 +19,8 @@ __all__ = [
     "hmm_model",
     "kalman_filter",
     "kalman_smoother",
+    "lgssm_grid_posterior",
+    "simulate_lgssm_data",
     "lgssm_model",
     "nonlinear_tracking_model",
 ]

@@ -57,7 +57,6 @@ def hmm_bootstrap_filter(config: DiscreteHMMConfiguration,
 
     ``observations`` is the full ``(T,)`` int sequence; the first
     entry conditions the init."""
-    import jax
 
     from genjax_tpu.inference.pf import particle_filter
     from genjax_tpu.ops.onehot import one_hot_rows, take_elems, take_rows

@@ -10,7 +10,51 @@ from genjax_tpu.lang.static import gen
 from genjax_tpu.lang.distributions import normal
 
 __all__ = ["lgssm_model", "kalman_filter", "kalman_smoother",
+           "simulate_lgssm_data", "lgssm_grid_posterior",
            "nonlinear_tracking_model"]
+
+
+def simulate_lgssm_data(key, a, q, r, n_steps, mu0=0.0):
+    """Sample ``(xs, ys)`` from the 1-D LGSSM ``x_t = a·x_{t-1} +
+    N(0, q)``, ``y_t = x_t + N(0, r)`` with ``x_0 = mu0`` — the shared
+    synthetic-data generator for the PMMH / SMC² / particle-Gibbs
+    tests, benchmarks, and examples (its exact marginal likelihood is
+    :func:`kalman_filter` with ``p0=0``)."""
+    kx, ky = jax.random.split(key)
+    ex = jnp.sqrt(q) * jax.random.normal(kx, (n_steps,))
+    ey = jnp.sqrt(r) * jax.random.normal(ky, (n_steps,))
+
+    def step(x, e):
+        x = a * x + e
+        return x, x
+
+    _, xs = jax.lax.scan(step, jnp.asarray(mu0), ex)
+    return xs, xs + ey
+
+
+def lgssm_grid_posterior(ys, q, r, grid, log_prior_density=None):
+    """Exact quadrature posterior over the transition coefficient of
+    the LGSSM above: returns ``(mean, std, log_evidence)``. The exact
+    per-point marginal likelihood comes from :func:`kalman_filter`
+    (``mu0=0, p0=0``); ``log_prior_density``: callable of ``a``
+    (default: uniform over the grid span)."""
+    lls = jax.vmap(
+        lambda a: kalman_filter(ys, a, q, r, mu0=0.0, p0=0.0)[0]
+    )(grid)
+    span = grid[-1] - grid[0]
+    lp = (
+        -jnp.log(span) * jnp.ones_like(grid)
+        if log_prior_density is None
+        else jax.vmap(log_prior_density)(grid)
+    )
+    post = lls + lp
+    w = jnp.exp(post - jnp.max(post))
+    w = w / jnp.sum(w)
+    mean = jnp.sum(grid * w)
+    std = jnp.sqrt(jnp.sum((grid - mean) ** 2 * w))
+    da = grid[1] - grid[0]
+    log_ev = jax.scipy.special.logsumexp(post) + jnp.log(da)
+    return mean, std, log_ev
 
 
 def lgssm_model(a: float, q: float, r: float, n_steps: int):

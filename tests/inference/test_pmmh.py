@@ -10,22 +10,16 @@ import pytest
 
 from genjax_tpu.inference.pmmh import gaussian_walk_proposal, pmmh
 from genjax_tpu.inference.pf import particle_filter
-from genjax_tpu.models.ssm import kalman_filter
+from genjax_tpu.models.ssm import (
+    lgssm_grid_posterior,
+    simulate_lgssm_data,
+)
 
 A_TRUE, Q, R, T = 0.7, 0.4, 0.4, 60
 KEY = jax.random.key(314159)
 
 
-def _data():
-    ks = jax.random.split(jax.random.key(11), 2 * T)
-    x, ys = 0.0, []
-    for i in range(T):
-        x = A_TRUE * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
-        ys.append(x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1]))
-    return jnp.stack(ys)
-
-
-YS = _data()
+YS = simulate_lgssm_data(jax.random.key(11), A_TRUE, Q, R, T)[1]
 N_PART = 512
 
 
@@ -53,14 +47,9 @@ def _log_prior(a):
 
 
 def _exact_grid_posterior():
-    grid = jnp.linspace(-0.95, 0.95, 191)
-    lls = jax.vmap(
-        lambda a: kalman_filter(YS, a, Q, R, mu0=0.0, p0=0.0)[0]
-    )(grid)
-    w = jnp.exp(lls - jnp.max(lls))
-    w = w / jnp.sum(w)
-    mean = jnp.sum(grid * w)
-    std = jnp.sqrt(jnp.sum((grid - mean) ** 2 * w))
+    mean, std, _ = lgssm_grid_posterior(
+        YS, Q, R, jnp.linspace(-0.95, 0.95, 191)
+    )
     return float(mean), float(std)
 
 
@@ -103,3 +92,13 @@ class TestPMMH:
         res = jax.jit(lambda k: run(k, {"a": jnp.asarray(0.2)}))(KEY)
         assert res.thetas["a"].shape == (200,)
         assert jnp.isfinite(res.log_zs).all()
+
+
+def test_gaussian_walk_proposal_rejects_structure_mismatch():
+    prop = gaussian_walk_proposal([0.1, 0.2])  # list vs tuple theta
+    with pytest.raises(TypeError, match="structure"):
+        prop(jax.random.key(0), (jnp.asarray(0.0), jnp.asarray(1.0)))
+    # scalar std broadcasts; matching structure works per-leaf
+    ok = gaussian_walk_proposal(0.1)(jax.random.key(0),
+                                     (jnp.asarray(0.0), jnp.asarray(1.0)))
+    assert len(ok) == 2

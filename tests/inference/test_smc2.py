@@ -8,22 +8,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from genjax_tpu.inference.smc2 import smc2
-from genjax_tpu.models.ssm import kalman_filter
+from genjax_tpu.models.ssm import (
+    lgssm_grid_posterior,
+    simulate_lgssm_data,
+)
 
 A_TRUE, Q, R, T = 0.7, 0.4, 0.4, 50
 KEY = jax.random.key(314159)
 
 
-def _data():
-    ks = jax.random.split(jax.random.key(11), 2 * T)
-    x, ys = 0.0, []
-    for i in range(T):
-        x = A_TRUE * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
-        ys.append(x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1]))
-    return jnp.stack(ys)
-
-
-YS = _data()
+YS = simulate_lgssm_data(jax.random.key(11), A_TRUE, Q, R, T)[1]
 
 
 def _model():
@@ -44,22 +38,10 @@ def _model():
 
 
 def _grid_oracle():
-    grid = jnp.linspace(-0.949, 0.949, 191)
-    lls = jax.vmap(
-        lambda a: kalman_filter(YS, a, Q, R, mu0=0.0, p0=0.0)[0]
-    )(grid)
-    # posterior moments
-    w = jnp.exp(lls - jnp.max(lls))
-    w = w / jnp.sum(w)
-    mean = float(jnp.sum(grid * w))
-    std = float(jnp.sqrt(jnp.sum((grid - mean) ** 2 * w)))
-    # evidence: uniform prior density 1/1.9 over the grid
-    da = float(grid[1] - grid[0])
-    log_ev = float(
-        jax.scipy.special.logsumexp(lls)
-        + jnp.log(da) - jnp.log(1.9)
+    mean, std, log_ev = lgssm_grid_posterior(
+        YS, Q, R, jnp.linspace(-0.949, 0.949, 191)
     )
-    return mean, std, log_ev
+    return float(mean), float(std), float(log_ev)
 
 
 class TestSMC2:

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genjax_tpu.inference.smc2 import smc2
+from genjax_tpu.models.ssm import simulate_lgssm_data
 from genjax_tpu.parallel.mesh import (
     Mesh,
     particle_mesh,
@@ -17,16 +18,7 @@ KEY = jax.random.key(314159)
 A_TRUE, Q, R, T = 0.7, 0.4, 0.4, 20
 
 
-def _data():
-    ks = jax.random.split(jax.random.key(11), 2 * T)
-    x, ys = 0.0, []
-    for i in range(T):
-        x = A_TRUE * x + float(jnp.sqrt(Q)) * jax.random.normal(ks[2 * i])
-        ys.append(x + float(jnp.sqrt(R)) * jax.random.normal(ks[2 * i + 1]))
-    return jnp.stack(ys)
-
-
-YS = _data()
+YS = simulate_lgssm_data(jax.random.key(11), A_TRUE, Q, R, T)[1]
 
 
 def _run(mesh):
