@@ -102,3 +102,37 @@ def test_gaussian_walk_proposal_rejects_structure_mismatch():
     ok = gaussian_walk_proposal(0.1)(jax.random.key(0),
                                      (jnp.asarray(0.0), jnp.asarray(1.0)))
     assert len(ok) == 2
+
+
+def test_pmmh_with_trace_level_estimator():
+    """Full-stack composition: the pseudo-marginal estimator is the
+    GFI-native trace_particle_filter's logZ on an @gen Scan model whose
+    transition coefficient is the sampled parameter — no hand-written
+    kernels anywhere in the chain."""
+    import genjax_tpu as g
+    from genjax_tpu.inference import trace_particle_filter
+
+    t = 20
+    ys20 = YS[:t]
+
+    def log_marginal(key, a):
+        @g.gen
+        def step(carry, _):
+            prev = carry
+            x = g.normal(a * prev, jnp.sqrt(Q)) @ "x"
+            g.normal(x, jnp.sqrt(R)) @ "y"
+            return x, x
+
+        run = trace_particle_filter(
+            step.scan(n=t), (0.0, None), "y", ys20, 512
+        )
+        return run(key).log_z
+
+    run = pmmh(log_marginal, _log_prior, n_iters=2000, proposal=0.15)
+    res = jax.jit(lambda k: run(k, jnp.asarray(0.0)))(KEY)
+    chain = np.asarray(res.thetas)[500:]
+    mean, std, _ = lgssm_grid_posterior(
+        ys20, Q, R, jnp.linspace(-0.95, 0.95, 191)
+    )
+    assert abs(chain.mean() - float(mean)) < 0.12, (chain.mean(), mean)
+    assert 0.03 < float(res.accept_rate) < 0.95
