@@ -333,3 +333,42 @@ class TestSplitPathProperties:
             for comp in path:
                 b = b.get_submap(comp)
             assert a.get_value() == b.get_value() == value
+
+
+class TestChoiceDynamicIndexLaws:
+    """Laws of dynamic indexing on bare Choice values (hypothesis-lite:
+    exhaustive over small shapes and node compositions)."""
+
+    def test_slicing_law(self):
+        arr = jnp.arange(12.0).reshape(4, 3)
+        chm = ChoiceMap.choice(arr)
+        for i in range(4):
+            assert jnp.array_equal(
+                chm.get_submap(i).get_value(), arr[i]
+            )
+        # traced index
+        got = jax.jit(lambda j: chm.get_submap(j).get_value())(2)
+        assert jnp.array_equal(got, arr[2])
+
+    def test_string_lookup_is_empty(self):
+        chm = ChoiceMap.choice(jnp.arange(4.0))
+        assert chm.get_submap("x").static_is_empty()
+
+    def test_composes_under_or_and_switch(self):
+        a = ChoiceMap.choice(jnp.arange(4.0))
+        b = ChoiceMap.entry(jnp.ones(4), jnp.arange(4), "x")
+        merged = a | b
+        assert float(merged.get_submap(2).get_value()) == 2.0
+        sw = ChoiceMap.switch(jnp.asarray(0), [a, ChoiceMap.choice(-jnp.arange(4.0))])
+        v = sw.get_submap(3).get_value()
+        v = v.unmask() if isinstance(v, Mask) else v
+        assert float(v) == 3.0
+
+    def test_full_slice_identity(self):
+        arr = jnp.arange(4.0)
+        chm = ChoiceMap.choice(arr)
+        assert jnp.array_equal(
+            chm.get_submap(slice(None)).get_value(), arr
+        )
+        with pytest.raises(ValueError, match="full slice"):
+            chm.get_submap(slice(0, 2))

@@ -322,3 +322,29 @@ class TestTupledAddresses:
 
         tr = f.simulate(jax.random.key(0), ())
         assert tr.get_choices()["x"] is not None
+
+
+def test_iid_block_edit_paths():
+    """Update / Regenerate on a sample_shape iid-block site."""
+    from genjax_tpu.gfi.requests import Regenerate
+    from genjax_tpu.gfi.selection import Selection
+
+    @g.gen
+    def f():
+        return g.normal(0.0, 1.0, sample_shape=g.Const((3,))) @ "x"
+
+    tr = f.simulate(jax.random.key(0), ())
+    vals = jnp.array([0.1, 0.2, 0.3])
+    new_tr, w, _, _ = tr.update(jax.random.key(1), g.C["x"].set(vals))
+    assert jnp.allclose(new_tr.get_choices()["x"], vals)
+    assert jnp.allclose(
+        w, new_tr.get_score() - tr.get_score(), atol=1e-6
+    )
+    new_tr2, w2, _, _ = tr.edit(
+        jax.random.key(2), Regenerate(Selection.at["x"])
+    )
+    assert new_tr2.get_choices()["x"].shape == (3,)
+    assert float(w2) == 0.0
+    assert not jnp.allclose(
+        new_tr2.get_choices()["x"], tr.get_choices()["x"]
+    )
