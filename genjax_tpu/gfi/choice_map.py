@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.core.compiler.staging import FlagOp
 from genjax_tpu.core.typing import Flag, static_check_is_concrete
 from genjax_tpu.gfi.mask import Mask
 from genjax_tpu.gfi.selection import (
@@ -219,7 +218,19 @@ class ChoiceMap(Pytree):
         def has_any_value(chm) -> bool:
             if chm.static_is_empty():
                 return False
-            if chm.get_value() is not None:
+            v = chm.get_value()
+            if isinstance(v, Mask):
+                # A concretely all-False mask is absent (e.g. the
+                # lane-membership masks Indexed lookups produce for
+                # valid vmap/scan constraints); traced flags stay
+                # conservatively present.
+                flag = v.flag
+                if static_check_is_concrete(flag):
+                    import numpy as _np
+
+                    return bool(_np.any(_np.asarray(flag)))
+                return True
+            if v is not None:
                 return True
             keys = getattr(chm, "keys", None)
             if keys is not None:
@@ -292,7 +303,7 @@ class Choice(ChoiceMap):
         return self.v
 
     def get_inner_map(self, comp) -> ChoiceMap:
-        if _is_static_comp(comp) and isinstance(comp, str):
+        if isinstance(comp, str):
             return Empty()
         # Dynamic (int/array) lookup on a bare value: index its leading
         # axis — ``ChoiceMap.choice(arr)`` used as a Vmap-level
@@ -474,14 +485,14 @@ class Indexed(ChoiceMap):
             return self.inner.mask(comp == idx)
         if comp.ndim > 0:
             # Vector query: per-lane gather, mask lanes without a match.
-            pos = jnp.argmax(
-                idx[None, :] == comp[:, None], axis=1
-            )
-            found = jnp.any(idx[None, :] == comp[:, None], axis=1)
+            eq = idx[None, :] == comp[:, None]
+            pos = jnp.argmax(eq, axis=1)
+            found = jnp.any(eq, axis=1)
             gathered = _lane_slice(self.inner, pos, n)
             return gathered.mask(found)
-        pos = jnp.argmax(idx == comp)
-        found = jnp.any(idx == comp)
+        eq = idx == comp
+        pos = jnp.argmax(eq)
+        found = jnp.any(eq)
         lane = _lane_slice(self.inner, pos, n)
         return lane.mask(found)
 

@@ -213,7 +213,8 @@ class GenerativeFunction(Pytree, Generic[R]):
     def vmap(self, *, in_axes=0, axis_size=None, axis_name=None):
         from genjax_tpu.lang.combinators.vmap import Vmap
 
-        return Vmap(self, in_axes=in_axes, axis_size=axis_size)
+        return Vmap(self, in_axes=in_axes, axis_size=axis_size,
+                    axis_name=axis_name)
 
     def repeat(self, *, n: int):
         from genjax_tpu.lang.combinators.repeat import repeat
@@ -337,48 +338,62 @@ class GenerativeFunctionClosure(Pytree, Generic[R]):
     args: tuple
     kwargs: dict = Pytree.field(default_factory=dict)
 
-    def __matmul__(self, addr) -> R:
+    def _resolve(self) -> tuple:
+        """Fold kwargs into a concrete (gen_fn, args) pair: named
+        distribution parameters bind positionally, ``sample_shape``
+        builds an iid block, anything left routes through
+        ``handle_kwargs`` ((args, kwargs) calling convention)."""
         from genjax_tpu.core.pytree import Const
+
+        if not self.kwargs:
+            return self.gen_fn, self.args
+        kw = dict(self.kwargs)
+        ss = kw.pop("sample_shape", None)
+        gf, args = self.gen_fn, self.args
+        if kw and hasattr(gf, "bind_kwargs"):
+            # Named distribution parameters — ``normal(loc=0.,
+            # scale=1.)`` — resolved to positional args at trace time
+            # (parity: reference TFP kwargs).
+            args = gf.bind_kwargs(args, kw)
+            kw = {}
+        if ss is not None and hasattr(gf, "iid"):
+            # ``normal(0., 1., sample_shape=Const((2, 2)))``: an iid
+            # block with a static leading shape (parity: reference
+            # TFP sample_shape).
+            shape = ss.value if isinstance(ss, Const) else ss
+            gf, ss = gf.iid(shape), None
+        if ss is not None:
+            kw["sample_shape"] = ss
+        if kw:
+            return gf.handle_kwargs(), (args, kw)
+        return gf, args
+
+    def __matmul__(self, addr) -> R:
         from genjax_tpu.lang.static import trace_here
 
-        if self.kwargs:
-            kw = dict(self.kwargs)
-            ss = kw.pop("sample_shape", None)
-            gf, args = self.gen_fn, self.args
-            if kw and hasattr(gf, "bind_kwargs"):
-                # Named distribution parameters — ``normal(loc=0.,
-                # scale=1.) @ "x"`` — resolved to positional args at
-                # trace time (parity: reference TFP kwargs).
-                args = gf.bind_kwargs(args, kw)
-                kw = {}
-            if ss is not None and hasattr(gf, "iid"):
-                # ``normal(0., 1., sample_shape=Const((2, 2))) @ "x"``:
-                # an iid block with a static leading shape (parity:
-                # reference TFP sample_shape).
-                shape = ss.value if isinstance(ss, Const) else ss
-                gf, ss = gf.iid(shape), None
-            if ss is not None:
-                kw["sample_shape"] = ss
-            if kw:
-                return trace_here(
-                    addr, gf.handle_kwargs(), (args, kw)
-                )
-            return trace_here(addr, gf, args)
-        return trace_here(addr, self.gen_fn, self.args)
+        gf, args = self._resolve()
+        return trace_here(addr, gf, args)
 
-    # Direct GFI passthrough on the closed-over args:
+    # Direct GFI passthrough on the closed-over args (kwargs resolved
+    # identically to the ``@ addr`` path — a closure with kwargs used
+    # to silently drop them here).
 
     def simulate(self, key):
-        return self.gen_fn.simulate(key, self.args)
+        gf, args = self._resolve()
+        return gf.simulate(key, args)
 
     def assess(self, chm):
-        return self.gen_fn.assess(chm, self.args)
+        gf, args = self._resolve()
+        return gf.assess(chm, args)
 
     def generate(self, key, constraint):
-        return self.gen_fn.generate(key, constraint, self.args)
+        gf, args = self._resolve()
+        return gf.generate(key, constraint, args)
 
     def project(self, key, trace, selection):
-        return self.gen_fn.project(key, trace, selection)
+        gf, _args = self._resolve()
+        return gf.project(key, trace, selection)
 
     def edit(self, key, trace, request, argdiffs):
-        return self.gen_fn.edit(key, trace, request, argdiffs)
+        gf, _args = self._resolve()
+        return gf.edit(key, trace, request, argdiffs)

@@ -124,6 +124,7 @@ class Vmap(GenerativeFunction[Any]):
     inner: GenerativeFunction[Any]
     in_axes: Any = Pytree.static(default=0)
     axis_size: int | None = Pytree.static(default=None)
+    axis_name: Any = Pytree.static(default=None)
 
     def _n(self, args) -> int:
         return _axis_size(self.in_axes, args, self.axis_size)
@@ -139,7 +140,8 @@ class Vmap(GenerativeFunction[Any]):
         n = self._n(args)
         keys = self._keys(key, n)
         inner_tr = jax.vmap(
-            self.inner.simulate, in_axes=(0, self._in_axes(args))
+            self.inner.simulate, in_axes=(0, self._in_axes(args)),
+            axis_name=self.axis_name,
         )(keys, args)
         return VmapTrace(self, inner_tr, args, n)
 
@@ -151,7 +153,8 @@ class Vmap(GenerativeFunction[Any]):
             return self.inner.assess(sub, args)
 
         scores, retvals = jax.vmap(
-            per_lane, in_axes=(0, self._in_axes(args))
+            per_lane, in_axes=(0, self._in_axes(args)),
+            axis_name=self.axis_name,
         )(jnp.arange(n), args)
         return jnp.sum(scores), retvals
 
@@ -164,7 +167,8 @@ class Vmap(GenerativeFunction[Any]):
             return self.inner.generate(key, sub, args)
 
         inner_tr, ws = jax.vmap(
-            per_lane, in_axes=(0, 0, self._in_axes(args))
+            per_lane, in_axes=(0, 0, self._in_axes(args)),
+            axis_name=self.axis_name,
         )(keys, jnp.arange(n), args)
         return VmapTrace(self, inner_tr, args, n), jnp.sum(ws)
 
@@ -177,7 +181,8 @@ class Vmap(GenerativeFunction[Any]):
             return self.inner.project(key, inner_tr, subsel)
 
         keys = self._keys(key, n)
-        ws = jax.vmap(per_lane, in_axes=(0, 0, 0))(
+        ws = jax.vmap(per_lane, in_axes=(0, 0, 0),
+                      axis_name=self.axis_name)(
             keys, jnp.arange(n), trace.inner
         )
         return jnp.sum(ws)
@@ -225,7 +230,8 @@ class Vmap(GenerativeFunction[Any]):
             )
 
         new_inner, ws, discards = jax.vmap(
-            per_lane, in_axes=(0, 0, 0, self._in_axes(args))
+            per_lane, in_axes=(0, 0, 0, self._in_axes(args)),
+            axis_name=self.axis_name,
         )(keys, jnp.arange(n), trace.inner, args)
         new_trace = VmapTrace(self, new_inner, args, n)
         retdiff = Diff.unknown_change(new_trace.get_retval())

@@ -82,6 +82,9 @@ _HANDLER_STACK: list["StaticHandler"] = []
 # lang/static_edit.py). Set False to force the coarse handler path.
 FINE_GRAINED_EDITS = True
 
+#: handle_kwargs wrapper cache (see Fn.handle_kwargs: treedef stability).
+_KWARGED_FNS: dict = {}
+
 
 def trace_here(addr, gen_fn: GenerativeFunction, args: tuple):
     """Record a traced call at ``addr`` under the innermost active handler.
@@ -223,7 +226,19 @@ class UpdateHandler(StaticHandler):
         sub_key = jax.random.fold_in(self.key, self.counter)
         self.counter += 1
         submap = self.constraint.get_submap(addr)
-        old_sub = self.previous.get_inner_trace(addr)
+        try:
+            old_sub = self.previous.get_inner_trace(addr)
+        except KeyError:
+            # Newly-visited address (concrete control flow exposed a
+            # site the old trace never ran): importance-generate it —
+            # the generate weight is exactly the SMCP3 increment for a
+            # fresh site (reference ``static.py:443-466`` handles the
+            # same case through its jaxpr walk).
+            new_sub, w = gen_fn.generate(sub_key, submap, args)
+            self.any_change = True
+            self.weight = self.weight + w
+            self.record(new_sub)
+            return new_sub.get_retval()
         argdiffs = (
             Diff.unknown_change(args) if self.any_change
             else Diff.no_change(args)
@@ -238,6 +253,18 @@ class UpdateHandler(StaticHandler):
         self.weight = self.weight + w
         self.record(new_sub)
         return new_sub.get_retval()
+
+    def settle_dropped(self):
+        """Addresses the old trace visited but the new execution did
+        not: subtract their scores from the weight and move their
+        choices to the discard (the backward Update restores them)."""
+        visited = set(self.addresses)
+        for addr, sub in zip(self.previous.addresses,
+                             self.previous.subtraces):
+            if addr not in visited:
+                self.any_change = True
+                self.weight = self.weight - sub.get_score()
+                self.discard.append((addr, sub.get_choices()))
 
 
 class RegenerateHandler(StaticHandler):
@@ -259,7 +286,15 @@ class RegenerateHandler(StaticHandler):
         sub_key = jax.random.fold_in(self.key, self.counter)
         self.counter += 1
         subsel = self.selection(addr)
-        old_sub = self.previous.get_inner_trace(addr)
+        try:
+            old_sub = self.previous.get_inner_trace(addr)
+        except KeyError:
+            # Newly-visited address: a fresh prior draw (weight 0 —
+            # proposal and target contributions cancel exactly).
+            new_sub = gen_fn.simulate(sub_key, args)
+            self.any_change = True
+            self.record(new_sub)
+            return new_sub.get_retval()
         argdiffs = (
             Diff.unknown_change(args) if self.any_change
             else Diff.no_change(args)
@@ -272,6 +307,16 @@ class RegenerateHandler(StaticHandler):
         self.weight = self.weight + w
         self.record(new_sub)
         return new_sub.get_retval()
+
+    def settle_dropped(self):
+        """Subtract dropped addresses' scores (their choices are
+        gone; the weight must stop counting them)."""
+        visited = set(self.addresses)
+        for addr, sub in zip(self.previous.addresses,
+                             self.previous.subtraces):
+            if addr not in visited:
+                self.any_change = True
+                self.weight = self.weight - sub.get_score()
 
 
 class StaticEditHandler(StaticHandler):
@@ -350,7 +395,54 @@ class StaticTrace(Trace[Any]):
         for addr, sub in zip(self.addresses, self.subtraces):
             if addr == address:
                 return sub
+        # Component-wise descent into tupled sites: a site traced at
+        # ("x", "x0") is reachable as get_subtrace("x", "x0") — the
+        # first component yields a prefix view over the matching
+        # suffixes (consistent with the choice-trie view).
+        matches = tuple(
+            (addr[1:] if len(addr) > 2 else addr[1], sub)
+            for addr, sub in zip(self.addresses, self.subtraces)
+            if isinstance(addr, tuple) and addr[0] == address
+        )
+        if matches:
+            return _PrefixTrace(
+                tuple(a for a, _ in matches),
+                tuple(s for _, s in matches),
+            )
         raise KeyError(f"No subtrace at address {address!r}")
+
+
+@Pytree.dataclass
+class _PrefixTrace(Trace[Any]):
+    """View over the subtraces under one component of tupled
+    addresses: supports further ``get_inner_trace`` descent,
+    ``get_choices``, and ``get_score`` (sum of the group)."""
+
+    addresses: tuple = Pytree.static()
+    subtraces: tuple = ()
+
+    def get_args(self) -> tuple:
+        return ()
+
+    def get_retval(self):
+        return None
+
+    def get_gen_fn(self):
+        return None
+
+    def get_score(self) -> Score:
+        score = jnp.zeros(())
+        for sub in self.subtraces:
+            score = score + sub.get_score()
+        return score
+
+    def get_choices(self) -> ChoiceMap:
+        chm = ChoiceMap.empty()
+        for addr, sub in zip(self.addresses, self.subtraces):
+            chm = chm | sub.get_choices().extend(addr)
+        return chm
+
+    get_inner_trace = StaticTrace.get_inner_trace
 
 
 @Pytree.dataclass
@@ -448,6 +540,7 @@ class Fn(GenerativeFunction[Any]):
             h: Any = UpdateHandler(key, trace, request.constraint, args_changed)
             with h:
                 retval = self.source(*args)
+            h.settle_dropped()
             new_trace = StaticTrace(
                 self, args, retval, tuple(h.subtraces), tuple(h.addresses)
             )
@@ -463,6 +556,7 @@ class Fn(GenerativeFunction[Any]):
             h = RegenerateHandler(key, trace, request.selection, args_changed)
             with h:
                 retval = self.source(*args)
+            h.settle_dropped()
             new_trace = StaticTrace(
                 self, args, retval, tuple(h.subtraces), tuple(h.addresses)
             )
@@ -517,13 +611,23 @@ class Fn(GenerativeFunction[Any]):
     def handle_kwargs(self) -> "Fn":
         """Kwarg-accepting form: args become ``(args_tuple, kwargs_dict)``
         and are applied to the source. Parity: reference
-        ``static.py:780-785``."""
-        source = self.source
+        ``static.py:780-785``.
 
-        def kwarged_source(args, kwargs):
-            return source(*args, **kwargs)
+        The wrapper is CACHED per source: it lives in the trace treedef
+        (static field), and a fresh closure per call would make two
+        traces of the same model structurally unequal — breaking
+        ``tree_map`` over trace pairs (MH accept/reject), ``lax.scan``
+        carries, and vmap."""
+        fn = _KWARGED_FNS.get(self.source)
+        if fn is None:
+            source = self.source
 
-        return Fn(kwarged_source)
+            def kwarged_source(args, kwargs):
+                return source(*args, **kwargs)
+
+            fn = Fn(kwarged_source)
+            _KWARGED_FNS[self.source] = fn
+        return fn
 
     def partial_apply(self, *pre_args) -> "Fn":
         """Fix leading arguments (STATIC values only — the partial lives in

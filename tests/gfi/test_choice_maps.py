@@ -372,3 +372,21 @@ class TestChoiceDynamicIndexLaws:
         )
         with pytest.raises(ValueError, match="full slice"):
             chm.get_submap(slice(0, 2))
+
+
+def test_invalid_subset_accepts_vmap_constraints():
+    """Lane-membership masks from valid dynamic-index constraints are
+    not 'typos' (review finding: concrete all-False masks previously
+    reported as invalid values)."""
+    import genjax_tpu as g
+
+    @g.gen
+    def kernel(mu):
+        return g.normal(mu, 1.0) @ "x"
+
+    vm = kernel.vmap(in_axes=0)
+    c = C[:].set({"x": jnp.arange(4.0)})
+    assert c.invalid_subset(vm, (jnp.zeros(4),)) is None
+    # an actual typo is still caught
+    bad = C[:].set({"z": jnp.arange(4.0)})
+    assert bad.invalid_subset(vm, (jnp.zeros(4),)) is not None

@@ -735,3 +735,18 @@ class TestGetSubtrace:
         assert jnp.allclose(
             jnp.sum(st.get_score()), tr.get_score(), atol=1e-6
         )
+
+
+def test_vmap_axis_name_collectives():
+    """axis_name threads into the lane vmaps: collectives inside the
+    model body resolve the named axis (previously silently dropped)."""
+    @g.gen
+    def m(mu):
+        x = g.normal(mu, 1.0) @ "x"
+        return x - jax.lax.pmean(x, axis_name="lanes")
+
+    vm = m.vmap(in_axes=0, axis_name="lanes")
+    tr = vm.simulate(KEY, (jnp.arange(4.0),))
+    assert jnp.allclose(jnp.mean(tr.get_retval()), 0.0, atol=1e-6)
+    score, _ = vm.assess(tr.get_choices(), (jnp.arange(4.0),))
+    assert jnp.allclose(score, tr.get_score(), atol=1e-6)

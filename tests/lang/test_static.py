@@ -348,3 +348,140 @@ def test_iid_block_edit_paths():
     assert not jnp.allclose(
         new_tr2.get_choices()["x"], tr.get_choices()["x"]
     )
+
+
+class TestStructureChangingEdits:
+    """Coarse-path Update/Regenerate across concrete control-flow
+    changes that add or drop addresses (review findings: dropped sites
+    previously kept their score in the weight; new sites crashed)."""
+
+    def _model(self):
+        @g.gen
+        def m(n):
+            x = g.normal(0.0, 1.0) @ "x"
+            if n > 0:
+                g.normal(x, 1.0) @ "extra"
+            return x
+
+        return m
+
+    def test_dropped_site_weight_and_discard(self):
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+
+        m = self._model()
+        tr = m.simulate(jax.random.key(0), (1,))
+        new_tr, w, _, bwd = tr.edit(
+            jax.random.key(1), g.Update(g.ChoiceMap.empty()),
+            Diff.unknown_change((0,)),
+        )
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-6
+        )
+        assert bwd.constraint.has_value_at("extra")
+
+    def test_new_site_unconstrained_and_constrained(self):
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+
+        m = self._model()
+        tr0 = m.simulate(jax.random.key(0), (0,))
+        _, w, _, _ = tr0.edit(
+            jax.random.key(2), g.Update(g.ChoiceMap.empty()),
+            Diff.unknown_change((1,)),
+        )
+        assert float(w) == 0.0
+        new_tr, w3, _, _ = tr0.edit(
+            jax.random.key(3), g.Update(g.C["extra"].set(0.7)),
+            Diff.unknown_change((1,)),
+        )
+        x = new_tr.get_choices()["x"]
+        assert jnp.allclose(w3, jss.norm.logpdf(0.7, x, 1.0), atol=1e-6)
+
+    def test_regenerate_across_structure_change(self):
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+        from genjax_tpu.gfi.requests import Regenerate
+        from genjax_tpu.gfi.selection import Selection
+
+        m = self._model()
+        tr = m.simulate(jax.random.key(0), (1,))
+        new_tr, w, _, _ = tr.edit(
+            jax.random.key(4), Regenerate(Selection.none()),
+            Diff.unknown_change((0,)),
+        )
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-6
+        )
+
+
+class TestKwargsTraceStability:
+    """handle_kwargs wrappers are cached per source: two traces of a
+    model whose body passes kwargs to a traced @gen call share a
+    treedef (MH accept/reject tree_maps over trace pairs)."""
+
+    def test_tree_map_and_mh_over_kwarg_traces(self):
+        import jax.tree_util as jtu
+        from genjax_tpu.inference import mh
+        from genjax_tpu.gfi.requests import Regenerate
+        from genjax_tpu.gfi.selection import Selection
+
+        @g.gen
+        def sub(mu, scale=1.0):
+            return g.normal(mu, scale) @ "v"
+
+        @g.gen
+        def model():
+            return sub(0.0, scale=2.0) @ "a"
+
+        t1 = model.simulate(jax.random.key(0), ())
+        t2 = model.simulate(jax.random.key(1), ())
+        merged = jtu.tree_map(
+            lambda a, b: jnp.where(True, a, b), t1, t2
+        )
+        assert float(merged.get_choices()["a", "v"]) == float(
+            t1.get_choices()["a", "v"]
+        )
+        new_tr, _acc = mh(
+            jax.random.key(2), t1, Regenerate(Selection.all())
+        )
+        assert jnp.isfinite(new_tr.get_score())
+
+    def test_closure_passthroughs_resolve_kwargs(self):
+        @g.gen
+        def sub(mu, scale=1.0):
+            return g.normal(mu, scale) @ "v"
+
+        tr = sub(0.0, scale=2.0).simulate(jax.random.key(0))
+        v = tr.get_choices()["v"] if "v" in tr.get_choices() else None
+        # score must use scale=2.0, not the default 1.0
+        chm = tr.get_choices()
+        v = chm["v"]
+        assert jnp.allclose(
+            tr.get_score(), jss.norm.logpdf(v, 0.0, 2.0), atol=1e-6
+        )
+        # and a bare distribution closure with kwargs works too
+        tr2 = g.normal(loc=1.0, scale=3.0).simulate(jax.random.key(1))
+        assert jnp.allclose(
+            tr2.get_score(),
+            jss.norm.logpdf(tr2.get_retval(), 1.0, 3.0),
+            atol=1e-6,
+        )
+
+
+def test_tupled_get_subtrace_descent():
+    @g.gen
+    def f():
+        a = g.normal(0.0, 1.0) @ ("x", "x0")
+        b = g.normal(0.0, 1.0) @ ("x", "x1")
+        g.normal(0.0, 1.0) @ "y"
+        return a + b
+
+    tr = f.simulate(jax.random.key(0), ())
+    assert jnp.allclose(
+        tr.get_subtrace("x", "x0").get_score(),
+        tr.get_subtrace(("x", "x0")).get_score(),
+    )
+    grp = tr.get_subtrace("x")
+    assert jnp.allclose(
+        grp.get_score(),
+        tr.get_subtrace(("x", "x0")).get_score()
+        + tr.get_subtrace(("x", "x1")).get_score(),
+    )
