@@ -100,7 +100,13 @@ def particle_filter(
             # lax.cond: steps that keep the ensemble skip the ancestor
             # inversion + particle gather entirely (the expensive part of
             # a filter step at large K).
-            ess = effective_sample_size(fs.log_weights)
+            # One ensemble-wide pass serves the ESS normalizer AND the
+            # resample branch's logZ delta (a logsumexp inside the cond
+            # could not be CSE'd with one outside it).
+            lse = logsumexp(fs.log_weights)
+            ess = jnp.exp(
+                2.0 * lse - logsumexp(2.0 * fs.log_weights)
+            )
 
             def do_resample(fs: FilterState) -> FilterState:
                 particles = constrain(resample_tree(
@@ -109,9 +115,7 @@ def particle_filter(
                 ))
                 # Invariant: logẐ_t = log_z + logsumexp(w) − log K;
                 # resampling absorbs the mass into log_z and resets w.
-                logz_delta = (
-                    logsumexp(fs.log_weights) - jnp.log(n_particles)
-                )
+                logz_delta = lse - jnp.log(n_particles)
                 return FilterState(
                     particles,
                     jnp.zeros_like(fs.log_weights),
@@ -213,8 +217,10 @@ def fused_particle_filter(
         xs0 = init(k_init).astype(state_dtype)
         lw0 = jnp.zeros((n_particles,))
         # (xs, lw, log_z, lse(lw), ess(lw)) — the fused kernel emits
-        # next step's lse/ess for free, so they ride the carry.
-        carry0 = (xs0, lw0, jnp.zeros(()), jnp.zeros(()) ,
+        # next step's lse/ess for free, so they ride the carry. The
+        # lse slot must START at logsumexp(zeros(K)) = log K, or a
+        # resample firing at t=0 biases log_z by exactly −log K.
+        carry0 = (xs0, lw0, jnp.zeros(()), log_n,
                   jnp.asarray(float(n_particles)))
 
         def one_step(carry, inp):
@@ -273,9 +279,10 @@ def bootstrap_filter(
     - ``observation_logpdf(state, obs_t)`` scores an observation.
     """
 
+    if init_prior is None:
+        raise ValueError("bootstrap_filter requires init_prior")
+
     def init(key):
-        if init_prior is None:
-            raise ValueError("bootstrap_filter requires init_prior")
         tr = init_prior.simulate(key, init_args)
         return tr.get_retval(), jnp.zeros(())
 

@@ -97,8 +97,11 @@ def _sorted_searchsorted(cum: jax.Array, us: jax.Array) -> jax.Array:
     is_query = jnp.concatenate(
         [jnp.zeros(k, jnp.int32), jnp.ones(n, jnp.int32)]
     )
-    # Merge-sort; ties put cum entries first (side='left' semantics) by a
-    # secondary key equal to is_query.
+    # Merge-sort; ties put cum entries first, so a query equal to a cum
+    # boundary counts it — #{cum <= u}, i.e. searchsorted side='right'.
+    # That is the DESIRED owner convention: a zero-weight particle's
+    # cum equals its predecessor's, and side='right' skips it when a
+    # grid point lands exactly on the shared boundary.
     _, flags = jax.lax.sort((comb, is_query), num_keys=1, is_stable=True)
     cum_before = jnp.cumsum(1 - flags)           # #cum entries ≤ position
     query_rank = jnp.cumsum(flags) - 1           # rank among queries
@@ -163,8 +166,13 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
     (``ops/resample.py`` — whole-row DMA + membership masks, no
     element gathers; ~5x the gather path at 1M), other sizes the sorted
     ancestor gather; on CPU offspring-counts + ``jnp.repeat`` is ~2x
-    faster. All are bitwise-equivalent resamplings of the same uniform
-    grid.
+    faster. The XLA paths are bitwise-equivalent resamplings of the
+    same uniform grid; the TPU Pallas CDF kernel
+    (``ops/cdf_counts.py``) sums the CDF in a different bit-level
+    order, so a grid point straddling a ulp-perturbed boundary can
+    pick the neighboring ancestor — same distribution, not bitwise
+    across backends (layout independence WITHIN a backend still
+    holds and is what the tests pin).
 
     ``invariant`` (optional): a pytree of bools matching ``tree``'s
     leaves; True marks a leaf as identical across particles (e.g. the
@@ -195,7 +203,15 @@ def resample_tree(key: jax.Array, log_weights: jax.Array, tree,
         # carry identical values), so a plain slice replaces the
         # expansion — identity when the ensemble size is unchanged,
         # a cheap contiguous slice when resampling n_src -> n (e.g.
-        # waste-free SMC's N -> M starter draw).
+        # waste-free SMC's N -> M starter draw). Upsampling n > n_src
+        # would silently produce a RAGGED ensemble; guard it.
+        for l, iv in zip(leaves, inv_flat):
+            if iv and l.shape[0] < n:
+                raise ValueError(
+                    "resample_tree: invariant leaf has "
+                    f"{l.shape[0]} rows < n={n}; invariant-leaf "
+                    "slicing only supports n <= source count"
+                )
         merged = [
             (l[:n] if iv else next(it))
             for l, iv in zip(leaves, inv_flat)

@@ -5,6 +5,7 @@ state-space model, HMM data marginal vs FFBS, and nonlinear 1D tracking
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import genjax_tpu as g
 from genjax_tpu.inference.pf import bootstrap_filter, particle_filter
@@ -165,3 +166,44 @@ class TestNonlinearTracking:
             )
         )
         assert ess > 1.0
+
+
+def test_fused_filter_logz_unbiased_with_t0_resample():
+    """Review regression: the fused filter's lse carry must start at
+    log K, or a resample firing at t=0 (ess_threshold > 1 forces it)
+    biases log_z by exactly -log K."""
+    from genjax_tpu.inference.pf import fused_particle_filter
+
+    n = 256
+    ys = jax.random.normal(jax.random.key(9), (8,)) * 2.0
+
+    def build(thresh):
+        return fused_particle_filter(
+            lambda k: jax.random.normal(k, (n,)),
+            lambda x, e: 0.5 * x + e,
+            lambda x, y: -0.5 * (y - x) ** 2,
+            n, ess_threshold=thresh,
+        )
+
+    # Always-resample vs never-resample logZ must agree in expectation;
+    # with the old bug the always path was exactly -log K lower.
+    keys = jax.random.split(jax.random.key(0), 64)
+    lz_always = jax.vmap(
+        lambda k: build(2.0)(k, ys)[0].log_z
+    )(keys)
+    lz_never = jax.vmap(
+        lambda k: build(0.0)(k, ys)[0].log_z
+    )(keys)
+    gap = float(jnp.mean(lz_always) - jnp.mean(lz_never))
+    assert abs(gap) < 0.5 * float(jnp.log(n)), gap
+
+
+def test_resample_tree_invariant_upsample_guard():
+    from genjax_tpu.inference.smc import resample_tree
+
+    tree = (jnp.zeros((4, 2)), jnp.zeros((4, 3)))
+    with pytest.raises(ValueError, match="invariant leaf"):
+        resample_tree(
+            jax.random.key(0), jnp.zeros(4), tree, 8,
+            invariant=(True, False),
+        )
