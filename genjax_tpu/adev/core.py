@@ -303,6 +303,35 @@ def _sample_batch_rule(vector_args, batch_axes, **params):
         batched = BatchedEnumPrimitive(adev_prim, bound_key, dims, n)
     elif hasattr(adev_prim, "differentiable_logpdf"):
         batched = _lift_reinforce(adev_prim, dims[1:], n)
+        # Rebind WITH the site's key (previously dropped: plain
+        # execution would then sample from the default key(0) constant
+        # — frozen guide simulation). A batched key collapses to its
+        # first lane (the lift re-splits per lane, so lanes stay
+        # independent either way); a degenerate/empty key batch (e.g.
+        # inside interpreter re-traces) falls back to the default.
+        if dims[0] is None:
+            rk = bound_key
+        elif jnp.shape(bound_key)[dims[0]] > 0:
+            rk = jax.lax.index_in_dim(
+                bound_key, 0, dims[0], keepdims=False
+            )
+        else:
+            rk = None
+        if rk is None:
+            out = sample_primitive(batched, *args)
+        else:
+            out = sample_primitive(batched, *args, key=rk)
+        return jtu.tree_leaves(out), [0 for _ in jtu.tree_leaves(out)]
+    elif isinstance(adev_prim, (BatchedTailCallPrimitive,
+                                BatchedEnumPrimitive)):
+        raise NotImplementedError(
+            "NESTED vmap over a reparameterized or enumeration ADEV "
+            "site is not supported yet (the already-batched primitive "
+            "cannot be re-lifted); only REINFORCE strategies compose "
+            "under nested vmap — use flip_reinforce/normal_reinforce "
+            "for the inner site, or move one vmap outside the "
+            "expectation."
+        )
     else:
         raise NotImplementedError(
             f"vmap over ADEV primitive {type(adev_prim).__name__} would "
@@ -466,7 +495,13 @@ def _env_primal(env: Environment) -> Environment:
 
 
 def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
-    """Primal-only evaluation of the remaining equations."""
+    """Primal-only evaluation of the remaining equations.
+
+    ``add_cost`` sites accumulate into the returned loss here too —
+    their contribution lives in the LOSS, not in the site's return
+    value, so dropping them would bias any estimator whose pure
+    continuation feeds a difference (MVD, enumeration)."""
+    cost = jnp.zeros(())
     for var, val in zip(invars, flat_args):
         env[var] = val
     for eqn in eqns:
@@ -482,13 +517,16 @@ def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
             )
             out = adev_prim.sample(sub_key, *args)
             outs = jtu.tree_leaves(out)
+            if getattr(adev_prim, "is_cost", False):
+                cost = cost + args[0]
         else:
             outs = eqn.primitive.bind(*subfuns, *invals, **params)
             if not eqn.primitive.multiple_results:
                 outs = [outs]
         for var, val in zip(eqn.outvars, outs):
             env[var] = val
-    return [env[v] for v in outvars]
+    results = [env[v] for v in outvars]
+    return [results[0] + cost, *results[1:]]
 
 
 def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
@@ -585,9 +623,9 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
                     if getattr(b, "jaxpr", None) is not None
                 ]
                 for ij in inners:
-                    if _contains_sample(ij) and not _all_samples_tail_call(
-                        ij
-                    ):
+                    if not _contains_sample(ij):
+                        continue
+                    if not _all_samples_tail_call(ij):
                         raise NotImplementedError(
                             f"ADEV sample site inside `{eqn.primitive}` "
                             "uses a non-pathwise gradient strategy (the "
@@ -596,6 +634,18 @@ def _eval_dual(key, eqns, dual_env: Environment, invars, flat_duals,
                             "scan/while/jit, hoist the site out, or use "
                             "lax.cond (supported)."
                         )
+                    # NOTE (documented limitation, not detectable
+                    # structurally): a reparameterized site inside the
+                    # scan that binds a CONSTANT key (e.g. the unkeyed
+                    # ``normal_reparam(mu, s)`` default) draws the SAME
+                    # eps every step and every estimate — each estimate
+                    # is a valid pathwise gradient at that eps, but the
+                    # estimator never averages over eps. Thread keys
+                    # (scan over split keys, ``key=...``) for fresh
+                    # randomness per estimate. The same random_seed(0)
+                    # signature is legitimately produced by the keyless
+                    # ``assess`` density-realization path (Marginal
+                    # guides), so this cannot be a hard error.
             flat_primals, flat_tangents = _flat_unzip(invals)
             jvp = jax_ad.primitive_jvps.get(eqn.primitive)
             # Call-like primitives (inner-jaxpr params: scan/while/pjit/

@@ -301,15 +301,21 @@ class UniformREPARAM(TailCallADEVPrimitive):
         return Dual(u, jnp.zeros_like(u))
 
 
-def _beta_cdf_param_partials(x, a, b, n_nodes: int = 64):
+import numpy as _np
+
+#: 64-node Gauss–Legendre rule on (0, 1), precomputed once — leggauss
+#: runs an eigen-decomposition; per-trace recomputation is waste.
+_GL64_NODES, _GL64_WEIGHTS = _np.polynomial.legendre.leggauss(64)
+_GL64_U = (_GL64_NODES + 1.0) / 2.0
+_GL64_W = _GL64_WEIGHTS / 2.0
+
+
+def _beta_cdf_param_partials(x, a, b):
     """(∂F/∂a, ∂F/∂b) of the Beta CDF at x, by Gauss–Legendre quadrature of
     ∂F/∂a = ∫₀ˣ f(t)[ln t − (ψ(a) − ψ(a+b))] dt (and symmetrically for b)
     — ``jax.scipy.special.betainc`` has no parameter gradients."""
-    import numpy as _np
-
-    nodes, weights = _np.polynomial.legendre.leggauss(n_nodes)
-    u = jnp.asarray((nodes + 1.0) / 2.0)          # (n,) on (0, 1)
-    w = jnp.asarray(weights / 2.0)
+    u = jnp.asarray(_GL64_U)                      # (n,) on (0, 1)
+    w = jnp.asarray(_GL64_W)
     t = x * u
     log_f = (
         (a - 1.0) * jnp.log(t)
@@ -444,6 +450,11 @@ class AddCost(ADEVPrimitive):
 
     Parity: reference ``primitives.py:479-500``."""
 
+    #: Marks this site's argument as a LOSS contribution — the pure
+    #: continuation (``core._eval_pure``) must add it to the returned
+    #: loss, not just pass it through as a value.
+    is_cost = True
+
     def sample(self, key, w):
         return w
 
@@ -491,7 +502,13 @@ geometric_reinforce = reinforce(
     ) + jnp.log(p),
 )
 
+# Sampler broadcasts eps over the parameter shape (a scalar eps would
+# perfectly CORRELATE the components while the summed logpdf scores
+# them as independent — sample/density mismatch); logpdf sums so the
+# score-function term is the joint density's.
 normal_reinforce = reinforce(
-    lambda key, loc, scale: loc + scale * jr.normal(key, ()),
-    lambda v, loc, scale: jss.norm.logpdf(v, loc, scale),
+    lambda key, loc, scale: loc + scale * jr.normal(
+        key, jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
+    ),
+    lambda v, loc, scale: jnp.sum(jss.norm.logpdf(v, loc, scale)),
 )

@@ -77,8 +77,10 @@ flip_enum = adev_distribution(
 flip_mvd = adev_distribution(
     adev_prims.flip_mvd, _logpdf_of(stdlib.flip), "flip_mvd"
 )
-#: Score-function flip — unlike the enumeration variants this one also
-#: batches under ``.vmap()`` guides (BatchedREINFORCE lifting).
+#: Score-function flip. Both this and the enumeration variants batch
+#: under ``.vmap()`` guides (``_lift_reinforce`` / BatchedEnumPrimitive
+#: in adev/core.py); only REINFORCE additionally composes under NESTED
+#: vmaps (it re-lifts).
 flip_reinforce = adev_distribution(
     adev_prims.flip_reinforce, _logpdf_of(stdlib.flip), "flip_reinforce"
 )

@@ -380,3 +380,97 @@ class TestFlipCondExactness:
         for p in [0.1, 0.3, 0.7]:
             gr = jax.jit(flip_exact_loss.grad_estimate)(key, (p,))
             assert float(gr[0]) == pytest.approx(p - 0.5, abs=1e-4)
+
+
+class TestReviewRegressions:
+    """Late round-2 self-review fixes."""
+
+    def test_add_cost_on_pure_continuation(self):
+        """MVD/enum pure continuations must include downstream
+        add_cost terms: with flip strategies the derivative of
+        E[f(b)] + c w.r.t. p is exactly f(T) - f(F), independent of
+        the constant cost c (the old pure path dropped c, biasing the
+        difference estimator by ±c)."""
+        @expectation
+        def loss_mvd(p):
+            b = flip_mvd(p)
+            add_cost(5.0)
+            return jax.lax.cond(b, lambda: 1.0, lambda: 0.3)
+
+        key = jax.random.key(314159)
+        for k in range(6):
+            d = loss_mvd.jvp_estimate(
+                jax.random.fold_in(key, k), Dual(0.4, 1.0)
+            )
+            assert float(d.tangent) == pytest.approx(0.7, abs=1e-5), k
+
+        @expectation
+        def loss_enum(p):
+            b = flip_enum(p)
+            add_cost(5.0)
+            return jax.lax.cond(b, lambda: 1.0, lambda: 0.3)
+
+        d = loss_enum.jvp_estimate(key, Dual(0.4, 1.0))
+        assert float(d.tangent) == pytest.approx(0.7, abs=1e-5)
+        # the primal includes the cost
+        assert float(d.primal) == pytest.approx(
+            0.4 * 1.0 + 0.6 * 0.3 + 5.0, abs=1e-5
+        )
+
+    def test_vmapped_reinforce_not_frozen(self):
+        """Plain (non-interpreted) sampling of a vmapped REINFORCE
+        site must honor the caller's key (previously rebound to the
+        default key(0) — frozen across all keys)."""
+        from genjax_tpu.adev.core import sample_primitive
+        from genjax_tpu.adev import primitives as prims
+
+        def draw(key):
+            return jax.vmap(
+                lambda p: sample_primitive(
+                    prims.flip_reinforce, p, key=key
+                ),
+                in_axes=0,
+            )(jnp.full(64, 0.5))
+
+        a = draw(jax.random.key(1))
+        b = draw(jax.random.key(2))
+        assert not jnp.array_equal(a, b)
+
+    def test_normal_reinforce_array_params_independent(self):
+        """The sampler must broadcast eps over parameter shape (a
+        scalar eps perfectly correlates components while the summed
+        logpdf scores them as independent)."""
+        from genjax_tpu.adev import primitives as prims
+
+        v = prims.normal_reinforce.sample(
+            jax.random.key(0), jnp.zeros(8), jnp.ones(8)
+        )
+        assert v.shape == (8,)
+        assert float(jnp.std(v)) > 1e-3  # not all-equal
+        lp = prims.normal_reinforce.differentiable_logpdf(
+            v, jnp.zeros(8), jnp.ones(8)
+        )
+        assert jnp.ndim(lp) == 0  # joint (summed) density
+
+
+def test_reparam_in_scan_with_threaded_keys_exact():
+    """The recommended scan pattern: scan over split keys and bind
+    key=... per site — fresh eps per step AND per estimate. For the
+    linear walk the pathwise gradient is exactly 1 per step."""
+    from genjax_tpu.adev import primitives as prims
+    from genjax_tpu.adev.core import sample_primitive
+
+    @expectation
+    def loss(mu, keys):
+        def body(c, k):
+            x = sample_primitive(prims.normal_reparam, mu, 1.0, key=k)
+            return c + x, None
+
+        tot, _ = jax.lax.scan(body, 0.0, keys)
+        return tot
+
+    keys = jax.random.split(jax.random.key(7), 3)
+    d = loss.jvp_estimate(
+        jax.random.key(0), (Dual(0.5, 1.0), Dual(keys, keys))
+    )
+    assert float(d.tangent) == pytest.approx(3.0, abs=1e-5)
