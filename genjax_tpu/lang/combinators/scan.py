@@ -184,14 +184,28 @@ class Scan(GenerativeFunction[Any]):
         n = self._n(args)
 
         if isinstance(request, IndexRequest):
-            return self._edit_index_fast(key, trace, request, args, n)
-        elif isinstance(request, (Update, Regenerate)):
-            pass
-        else:
+            if Diff.static_check_no_change(argdiffs):
+                return self._edit_index_fast(key, trace, request, args, n)
+            # Changed args invalidate the O(1) repair (it would score
+            # from the OLD stored step args while recording the new
+            # ones). Lower to the equivalent whole-chain request.
+            if isinstance(request.subrequest, Update):
+                request = Update(
+                    request.subrequest.constraint.extend(request.idx)
+                )
+            elif isinstance(request.subrequest, Regenerate):
+                request = Regenerate(
+                    request.subrequest.selection.extend(request.idx)
+                )
+            else:
+                raise NotImplementedError(
+                    "Scan IndexRequest with changed args supports "
+                    "Update/Regenerate sub-requests only"
+                )
+        if not isinstance(request, (Update, Regenerate)):
             raise NotImplementedError(
                 f"Scan does not support {type(request).__name__}"
             )
-        target_idx = None
 
         def step(carry, inp):
             i, x, inner_tr = inp
@@ -258,14 +272,28 @@ class Scan(GenerativeFunction[Any]):
         new_carry_next, out_next = new_sub_next.get_retval()
 
         def check():
-            same = jtu.tree_all(jtu.tree_map(
-                lambda a, b: jnp.all(jnp.isclose(a, b)),
-                new_carry_next, old_carry_next,
-            ))
+            # Staged-safe reduction (tree_all would bool-convert traced
+            # values); the gate exempts t >= n-2 — a changed carry out
+            # of the LAST step has no downstream step and is folded
+            # into the final retval below.
+            import functools
+
+            same = functools.reduce(
+                jnp.logical_and,
+                jtu.tree_leaves(jtu.tree_map(
+                    lambda a, b: jnp.all(jnp.isclose(a, b)),
+                    new_carry_next, old_carry_next,
+                )),
+                jnp.asarray(True),
+            )
             checkify.check(
-                jnp.asarray(same) | ~has_next,
+                same | (t_idx >= n - 2),
                 "Scan IndexRequest: the carry changed past step idx+1; "
                 "use a full Update/Regenerate edit instead.",
+            )
+            checkify.check(
+                (t_idx >= 0) & (t_idx < n),
+                "Scan IndexRequest: index out of range.",
             )
 
         optional_check(check)

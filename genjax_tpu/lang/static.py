@@ -115,6 +115,24 @@ def trace_here(addr, gen_fn: GenerativeFunction, args: tuple):
     return handler.handle(addr, gen_fn, args)
 
 
+def validate_new_address(addresses, addr):
+    """Shared address validation for both edit paths (coarse handlers
+    here and the staging handler in ``static_edit.py``): exact reuse,
+    plus prefix conflicts — a tupled address nested under (or
+    enclosing) another site's path would collide in the choice trie,
+    e.g. ``("x", "y")`` after ``"x"``. The reference leaves the prefix
+    check unimplemented (its ``test_tupled_address_conflict`` is
+    skipped); here it is an AddressReuse at trace time."""
+    if addr in addresses:
+        raise AddressReuse(addr)
+    t = addr if isinstance(addr, tuple) else (addr,)
+    for seen in addresses:
+        s = seen if isinstance(seen, tuple) else (seen,)
+        k = min(len(s), len(t))
+        if s[:k] == t[:k]:
+            raise AddressReuse(addr)
+
+
 class StaticHandler:
     """Base: bookkeeping shared by the five GFI transforms."""
 
@@ -123,19 +141,7 @@ class StaticHandler:
         self.subtraces: list[Trace] = []
 
     def visit(self, addr):
-        if addr in self.addresses:
-            raise AddressReuse(addr)
-        # Prefix conflicts: a tupled address nested under (or enclosing)
-        # another site's path would collide in the choice trie — e.g.
-        # ``("x", "y")`` after ``"x"``. The reference leaves this check
-        # unimplemented (its ``test_tupled_address_conflict`` is
-        # skipped); here it is an AddressReuse at trace time.
-        t = addr if isinstance(addr, tuple) else (addr,)
-        for seen in self.addresses:
-            s = seen if isinstance(seen, tuple) else (seen,)
-            k = min(len(s), len(t))
-            if s[:k] == t[:k]:
-                raise AddressReuse(addr)
+        validate_new_address(self.addresses, addr)
         self.addresses.append(addr)
 
     def record(self, subtrace: Trace):
@@ -531,6 +537,10 @@ class Fn(GenerativeFunction[Any]):
                 jax.errors.ConcretizationTypeError,
                 jax.errors.TracerArrayConversionError,
                 jax.errors.TracerIntegerConversionError,
+                # Non-jaxtype args (strings, arbitrary Python objects)
+                # make make_jaxpr raise TypeError — such bodies run fine
+                # through the plain-Python coarse path below.
+                TypeError,
             ):
                 # Body needs concrete control flow — staging impossible;
                 # the coarse handler path below executes it as plain

@@ -51,17 +51,19 @@ site_p = InitialStylePrimitive("genjax_site")
 
 class StagingHandler:
     """Handler that *stages* the body: each traced call becomes one
-    ``site_p`` equation instead of being executed."""
+    ``site_p`` equation instead of being executed. Address validation
+    is shared with the coarse-path handlers
+    (``static.validate_new_address``) so the two edit paths cannot
+    diverge."""
 
     def __init__(self, previous):
         self.previous = previous
         self.addresses: list = []
 
     def visit(self, addr):
-        from genjax_tpu.lang.static import AddressReuse
+        from genjax_tpu.lang.static import validate_new_address
 
-        if addr in self.addresses:
-            raise AddressReuse(addr)
+        validate_new_address(self.addresses, addr)
         self.addresses.append(addr)
 
     def handle(self, addr, gen_fn, args):
@@ -206,6 +208,13 @@ def edit_via_incremental(fn, key, trace, request, argdiffs):
         duals,
         rules={site_p: _make_site_rule(ctx)},
     )
+    # Literal/constvar outputs come back as raw values (the interpreter
+    # only wraps eqn outputs) — coerce them to NoChange Diffs so bodies
+    # returning constants or closed-over arrays stay editable.
+    flat_out = [
+        d if isinstance(d, Diff) else Diff(d, NoChange)
+        for d in flat_out
+    ]
     retval = jtu.tree_unflatten(out_tree, [d.primal for d in flat_out])
     out_tangent = NoChange
     for d in flat_out:

@@ -750,3 +750,63 @@ def test_vmap_axis_name_collectives():
     assert jnp.allclose(jnp.mean(tr.get_retval()), 0.0, atol=1e-6)
     score, _ = vm.assess(tr.get_choices(), (jnp.arange(4.0),))
     assert jnp.allclose(score, tr.get_score(), atol=1e-6)
+
+
+class TestScanIndexRequestRegressions:
+    """Late round-2 self-review fixes."""
+
+    def test_index_request_with_changed_args_consistent(self):
+        """Changed args lower the O(1) repair to a whole-chain Update:
+        the result must satisfy score == assess(choices, new args)."""
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+
+        @g.gen
+        def step(c, x):
+            z = g.normal(c + x, 1.0) @ "z"
+            return z, z
+
+        sc = step.scan(n=4)
+        tr = sc.simulate(KEY, (0.0, jnp.zeros(4)))
+        xs_new = jnp.full(4, 5.0)
+        req = g.IndexRequest(1, g.Update(g.C["z"].set(0.3)))
+        new_tr, w, _, _ = sc.edit(
+            jax.random.key(1), tr, req,
+            (Diff.no_change(0.0), Diff.unknown_change(xs_new)),
+        )
+        score, _ = sc.assess(new_tr.get_choices(), new_tr.get_args())
+        assert jnp.allclose(score, new_tr.get_score(), atol=1e-5)
+        assert jnp.allclose(
+            w, new_tr.get_score() - tr.get_score(), atol=1e-5
+        )
+
+    def test_carry_check_staged_and_gated(self):
+        """The opt-in carry assertion stages under checkify (no Python
+        bool conversion), passes at idx = n-2 (no downstream step),
+        and flags a genuinely-propagating mid-chain edit."""
+        from jax.experimental import checkify
+
+        from genjax_tpu.core.checks import do_checkify
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+
+        @g.gen
+        def acc_step(c, _):
+            z = g.normal(0.0, 1.0) @ "z"
+            return c + z, c
+
+        sc = acc_step.scan(n=5)
+        tr = sc.simulate(KEY, (0.0, None))
+
+        def run(req):
+            with do_checkify():
+                err, _ = checkify.checkify(
+                    lambda: sc.edit(
+                        jax.random.key(1), tr, req,
+                        Diff.no_change((0.0, None)),
+                    )
+                )()
+            return err.get()
+
+        assert run(g.IndexRequest(3, g.Update(g.C["z"].set(0.2)))) is None
+        assert run(
+            g.IndexRequest(1, g.Update(g.C["z"].set(9.0)))
+        ) is not None

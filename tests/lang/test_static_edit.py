@@ -209,3 +209,43 @@ class TestMHSweepPosterior:
         # x0 ~ N(0,1), x1|x0 ~ N(x0,.25), y|x1 ~ N(x1,.25)
         # => cov(x0,y)=1, var(y)=1.5 => E[x0|y=1] = 1/1.5
         assert abs(float(jnp.mean(xs[1000:])) - 1.0 / 1.5) < 0.08
+
+
+class TestEditReviewRegressions:
+    """Late round-2 self-review fixes for the edit machinery."""
+
+    def test_constant_retval_editable(self):
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+        from genjax_tpu.gfi.requests import Regenerate
+        from genjax_tpu.gfi.selection import Selection
+
+        @g.gen
+        def f(mu):
+            x = g.normal(mu, 1.0) @ "x"
+            return (x, 3.0)
+
+        tr = f.simulate(jax.random.key(0), (0.5,))
+        new_tr, w, _, _ = tr.edit(
+            jax.random.key(1), Regenerate(Selection.at["x"]),
+            Diff.no_change((0.5,)),
+        )
+        assert jnp.isfinite(new_tr.get_score())
+        assert new_tr.get_retval()[1] == 3.0
+
+    def test_string_arg_body_falls_back_to_coarse(self):
+        from genjax_tpu.core.compiler.interpreters.incremental import Diff
+        from genjax_tpu.gfi.requests import Regenerate
+        from genjax_tpu.gfi.selection import Selection
+
+        @g.gen
+        def m(mode, mu):
+            if mode == "wide":
+                return g.normal(mu, 10.0) @ "x"
+            return g.normal(mu, 0.1) @ "x"
+
+        tr = m.simulate(jax.random.key(0), ("wide", 0.5))
+        new_tr, _, _, _ = tr.edit(
+            jax.random.key(1), Regenerate(Selection.all()),
+            Diff.no_change(("wide", 0.5)),
+        )
+        assert jnp.isfinite(new_tr.get_score())
