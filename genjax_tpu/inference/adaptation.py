@@ -32,8 +32,11 @@ class DualAveragingState(NamedTuple):
 
 def da_init(eps0: float) -> DualAveragingState:
     log_eps = jnp.log(jnp.asarray(eps0))
+    # log_eps_avg starts at log(eps0): the first update overwrites it
+    # fully (t=1 ⇒ w=1), and a ZERO-length warmup then returns eps0
+    # instead of exp(0) = 1.0.
     return DualAveragingState(
-        log_eps, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+        log_eps, log_eps, jnp.zeros(()), jnp.zeros(()),
         jnp.log(10.0) + log_eps,
     )
 
@@ -93,7 +96,9 @@ def warmup_chains(
     n_chains, d = z0s.shape
 
     def one_step(zs, eps, inv_mass, step_key):
-        keys = jax.random.split(step_key, n_chains)
+        keys = jax.vmap(
+            lambda c: jax.random.fold_in(step_key, c)
+        )(jnp.arange(n_chains))
         z_new, infos = jax.vmap(
             lambda z, k: nuts_kernel(
                 logdensity_fn, z, k, eps, inv_mass, max_depth
@@ -122,7 +127,7 @@ def warmup_chains(
         # is stale — reset the averages and re-anchor mu at the current
         # log_eps so the remaining quarter re-converges from there.
         da_reset = DualAveragingState(
-            da.log_eps, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+            da.log_eps, da.log_eps, jnp.zeros(()), jnp.zeros(()),
             jnp.log(10.0) + da.log_eps,
         )
         da = jax.tree_util.tree_map(
@@ -204,7 +209,9 @@ def run_nuts(
         )
     transforms = transforms or {}
 
-    init_keys = jax.random.split(k_init, n_chains)
+    init_keys = jax.vmap(
+        lambda c: jax.random.fold_in(k_init, c)
+    )(jnp.arange(n_chains))
     trs, _ = jax.vmap(
         lambda k: target.importance(k, ChoiceMap.empty())
     )(init_keys)
@@ -221,6 +228,9 @@ def run_nuts(
     vals0, rebuild = partition_values(
         jax.tree_util.tree_map(lambda v: v[0], latents0)
     )
+    from genjax_tpu.inference.requests.nuts import check_float_latents
+
+    check_float_latents(vals0)
     _, unravel_vals = ravel_pytree(vals0)
 
     def unravel(z_vec):
@@ -254,7 +264,9 @@ def run_nuts(
         )
         return zs, infos
 
-    chain_keys = jax.random.split(k_sample, n_chains)
+    chain_keys = jax.vmap(
+        lambda c: jax.random.fold_in(k_sample, c)
+    )(jnp.arange(n_chains))
     zs, infos = jax.vmap(sample_one_chain)(constrain(z_warm), chain_keys)
 
     def to_constrained(z):

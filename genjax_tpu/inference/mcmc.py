@@ -60,9 +60,21 @@ def chain(kernel: Callable[[jax.Array, Trace[Any]],
             out = collect(new_tr) if collect is not None else aux
             return new_tr, out
 
-        final, outs = lax.scan(step, trace, jnp.arange(n_steps))
-        if burn_in:
-            outs = jtu.tree_map(lambda v: v[burn_in:], outs)
+        def burn_step(tr, i):
+            step_key = jax.random.fold_in(key, i)
+            new_tr, _aux = kernel(step_key, tr)
+            return new_tr, None
+
+        # Two scans: the burn-in scan materializes NO outputs, so peak
+        # memory is proportional to the RETURNED samples (a single scan
+        # stacking all n_steps then slicing would hold n_steps/(n_steps
+        # − burn_in)× the needed memory). Keys stay fold_in(key, i) over
+        # the global step index — bitwise identical to the single-scan
+        # collection.
+        trace, _ = lax.scan(burn_step, trace, jnp.arange(burn_in))
+        final, outs = lax.scan(
+            step, trace, jnp.arange(burn_in, n_steps)
+        )
         return final, outs
 
     return run

@@ -94,6 +94,12 @@ def nuts_kernel(
     key, r_key = jax.random.split(key)
     r0 = jax.random.normal(r_key, (D,)) / jnp.sqrt(inv_mass)
     logp0, grad0 = logp_and_grad(z0)
+    # Non-finite initial energy (e.g. a zero-density start) would make
+    # delta = -inf read as perfect acceptance while the chain never
+    # moves. Mark it diverging with accept 0 instead (Stan/numpyro
+    # error on this; inside jit we flag it) — the flags are folded in
+    # at the end of the transition.
+    finite0 = jnp.isfinite(logp0)
     energy0 = -logp0 + _kinetic(r0, inv_mass)
     init = _IntegratorState(z0, r0, logp0, grad0)
 
@@ -259,8 +265,32 @@ def nuts_kernel(
 
     out = lax.while_loop(cond, body, traj)
     accept_prob = out.sum_accept / jnp.maximum(out.num_steps, 1)
-    info = NUTSInfo(accept_prob, out.num_steps, out.diverging, energy0)
-    return out.proposal_z, info
+    # Fold the non-finite-start flag in: the chain did not move (all
+    # deltas were NaN-gated), report accept 0 + diverging so adaptation
+    # and diagnostics see the stuck chain instead of accept = 1.
+    accept_prob = jnp.where(finite0, accept_prob, 0.0)
+    info = NUTSInfo(
+        accept_prob, out.num_steps, out.diverging | ~finite0, energy0
+    )
+    return jnp.where(finite0, out.proposal_z, z0), info
+
+
+def check_float_latents(vals):
+    """Gradient-based kernels require continuous latents: an int leaf
+    raveled into the position vector would drift ballistically (its
+    gradient through the int-cast is zero) and truncate back to int
+    with no MH correction — a silently wrong kernel. Parity with
+    HMC's ``static_check_supports_grad`` guard (``hmc.py:36-53``)."""
+    import jax.tree_util as _jtu
+
+    for leaf in _jtu.tree_leaves(vals):
+        if not jnp.issubdtype(jnp.result_type(leaf), jnp.floating):
+            raise TypeError(
+                "NUTS position includes a non-float latent (dtype "
+                f"{jnp.result_type(leaf)}). Exclude discrete sites "
+                "from the selection and move them with a separate "
+                "Regenerate/enumeration kernel."
+            )
 
 
 def jtu_select(pred, a, b):
@@ -271,30 +301,17 @@ def jtu_select(pred, a, b):
 
 def _trailing_ones(i):
     """Number of trailing one-bits of i (= number of completed subtrees
-    ending at odd position i)."""
-
-    def cond(c):
-        x, _ = c
-        return (x % 2) == 1
-
-    def body(c):
-        x, n = c
-        return x // 2, n + 1
-
-    _, out = lax.while_loop(cond, body, (i, jnp.zeros((), jnp.int32)))
-    return out
+    ending at odd position i). Single-op form: ``i ^ (i+1)`` sets the
+    trailing-ones run plus the next bit, so popcount − 1 counts the run
+    (replaces a per-leapfrog-step scalar while_loop)."""
+    i = jnp.asarray(i, jnp.int32)
+    return lax.population_count(i ^ (i + 1)) - 1
 
 
 def _popcount_ones(i):
-    """Stack height for checkpoint storage: number of set bits of i."""
-    def body(k, c):
-        x, n = c
-        return x // 2, n + (x % 2)
-
-    x, n = lax.fori_loop(
-        0, 32, body, (i, jnp.zeros((), jnp.int32))
-    )
-    return n
+    """Stack height for checkpoint storage: number of set bits of i
+    (one hardware op; replaces a 32-iteration fori_loop per step)."""
+    return lax.population_count(jnp.asarray(i, jnp.int32))
 
 
 @Pytree.dataclass
@@ -317,6 +334,7 @@ class NUTS(EditRequest):
         # Ravel only the Choice payloads — structural leaves (Switch
         # idx, Mask flags) stay out of the position vector.
         vals, rebuild = partition_values(selected)
+        check_float_latents(vals)
         flat, unravel_vals = ravel_pytree(vals)
 
         def unravel(z_vec):

@@ -406,3 +406,64 @@ class TestSupportTransforms:
         bij = interval(0.0, 1.0)
         uu = bij.inverse(jnp.asarray(0.3))
         assert abs(float(fldj) - float(bij.fldj(uu))) < 1e-6
+
+
+class TestNUTSReviewRegressions:
+    """Late round-2 self-review fixes."""
+
+    def test_nonfinite_initial_energy_flagged(self):
+        """A zero-density start must report accept 0 + diverging (the
+        old behavior froze the chain while reporting accept 1.0)."""
+        bad = lambda z: jnp.where(
+            jnp.any(jnp.abs(z) < 1e9), -jnp.inf, 0.0
+        )
+        z, info = nuts_kernel(bad, jnp.zeros(3), jax.random.key(0), 0.1)
+        assert float(info.accept_prob) == 0.0
+        assert bool(info.diverging)
+        assert jnp.all(z == 0.0)
+
+    def test_discrete_latent_rejected(self):
+        import pytest
+
+        @g.gen
+        def disc():
+            z = g.bernoulli(logits=0.0) @ "z"
+            return g.normal(jnp.where(z, 1.0, -1.0), 1.0) @ "x"
+
+        tgt = Target(disc, (), g.C["x"].set(0.5))
+        with pytest.raises(TypeError, match="non-float latent"):
+            run_nuts(tgt, jax.random.key(0), n_chains=2,
+                     num_warmup=5, num_samples=5)
+
+    def test_zero_warmup_returns_eps0(self):
+        from genjax_tpu.inference.adaptation import warmup_chains
+
+        logd = lambda z: -0.5 * jnp.sum(z ** 2)
+        _, eps, _ = warmup_chains(
+            logd, jnp.zeros((2, 3)), jax.random.key(0),
+            num_warmup=0, eps0=0.1,
+        )
+        assert abs(float(eps) - 0.1) < 1e-6
+
+
+def test_chain_burnin_bitwise_vs_slice():
+    """Two-scan burn-in (no stacked outputs during burn-in) is bitwise
+    the single-scan collection's tail."""
+    from genjax_tpu.inference import chain, mh
+    from genjax_tpu.gfi.requests import Regenerate
+    from genjax_tpu.gfi.selection import Selection
+
+    @g.gen
+    def m():
+        return g.normal(0.0, 1.0) @ "x"
+
+    tr = m.simulate(jax.random.key(0), ())
+    kern = lambda k, t: mh(k, t, Regenerate(Selection.all()))
+    run = chain(kern)
+    _, burned = run(jax.random.key(1), tr, n_steps=50, burn_in=20,
+                    collect=lambda t: t.get_choices()["x"])
+    _, full = run(jax.random.key(1), tr, n_steps=50, burn_in=0,
+                  collect=lambda t: t.get_choices()["x"])
+    np.testing.assert_array_equal(
+        np.asarray(burned), np.asarray(full)[20:]
+    )
