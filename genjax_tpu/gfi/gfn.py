@@ -99,7 +99,11 @@ class Trace(Pytree, Generic[R]):
         return tr
 
     def get_inner_trace(self, address) -> "Trace[Any]":
-        raise NotImplementedError(
+        # KeyError = "address absent here" (the StaticTrace convention),
+        # so containers like Switch can distinguish absence from a
+        # nested trace's genuine NotImplementedError (e.g. ambiguous
+        # possession across traced-index branches).
+        raise KeyError(
             f"{type(self).__name__} has no subtraces"
         )
 

@@ -145,10 +145,38 @@ def get_bijector(spec) -> Bijector:
     if spec is None:
         return identity
     if isinstance(spec, str):
-        return _NAMED[spec]
+        if spec == "unit_interval":
+            # The support-metadata string for (0, 1) supports
+            # (distribution.get_support docstring).
+            return interval(0.0, 1.0)
+        try:
+            return _NAMED[spec]
+        except KeyError:
+            raise ValueError(f"Unknown bijector spec: {spec!r}") from None
     if isinstance(spec, tuple) and len(spec) == 2:
         return interval(*spec)
     raise ValueError(f"Unknown bijector spec: {spec!r}")
+
+
+def _spec_equal(a, b) -> bool:
+    """Support-spec equality that tolerates array-valued interval
+    bounds (vector-arg uniform/truncated sites): tuple-wise recursive,
+    array leaves compared with np.array_equal (a bare ``==`` raises
+    'truth value of an array is ambiguous')."""
+    import numpy as _np
+
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _spec_equal(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    if a is None or b is None:
+        return a is b
+    try:
+        return bool(_np.array_equal(_np.asarray(a), _np.asarray(b)))
+    except Exception:
+        return a is b
 
 
 def _addr_path(addr) -> tuple:
@@ -164,7 +192,7 @@ def _and_gate(a, b):
 
 
 def _map_at(chm: ChoiceMap, path: tuple, fn: Callable, gate=None,
-            branch=None):
+            branch=()):
     """Structurally replace the leaf at ``path`` with
     ``fn(value, gate, branch)``, returning ``(new_chm, found)``.
     :class:`Indexed` nodes (Scan/Vmap choices) are transparent — the
@@ -178,9 +206,10 @@ def _map_at(chm: ChoiceMap, path: tuple, fn: Callable, gate=None,
     branch b only exists when ``idx == b``, so bijectors must gate their
     fldj (and domain-sensitive inverses) by it — that is how
     branch-dependent supports work (VERDICT r1 item 8). ``branch`` is
-    the innermost Switch branch index on the way down (for
-    :class:`PerBranch` specs); the same address may be found in several
-    branches, each visit gated by its own condition.
+    the STACK of Switch branch indices on the way down, outermost
+    first (``PerBranch`` specs peel one layer per wrapped Switch
+    level); the same address may be found in several branches, each
+    visit gated by its own condition.
 
     In-place leaf surgery (rather than an overlay merge) keeps the
     choice-map structure identical, so shape-changing bijectors
@@ -218,22 +247,32 @@ def _map_at(chm: ChoiceMap, path: tuple, fn: Callable, gate=None,
         new_right, found = _map_at(chm.right, path, fn, gate, branch)
         return (Or(chm.left, new_right) if found else chm), found
     if isinstance(chm, Switch):
-        idx = jnp.asarray(chm.idx)
+        # Out-of-bounds idx CLAMPS (the Switch combinator's documented
+        # semantics — tree_choose uses mode='clip'); the liveness gate
+        # must agree or an OOB idx would mark every branch dead.
+        idx = jnp.clip(
+            jnp.asarray(chm.idx), 0, len(chm.branches) - 1
+        )
         new_branches = []
         found_any = False
         for b, br in enumerate(chm.branches):
-            nb, f = _map_at(br, path, fn, _and_gate(gate, idx == b), b)
+            nb, f = _map_at(
+                br, path, fn, _and_gate(gate, idx == b), branch + (b,)
+            )
             new_branches.append(nb if f else br)
             found_any = found_any or f
         if not found_any:
             return chm, False
         return Switch(chm.idx, tuple(new_branches)), True
     if isinstance(chm, Filtered):
-        # A lazy filter gates existence by the selection; when the path
-        # bottoms out here the root check is the exact liveness flag.
-        # For deeper paths the filter's effect shows up as Masks at the
-        # leaves, so descend ungated.
-        flag = chm.selection.check() if not path else None
+        # A lazy filter gates existence by the selection: walk the
+        # selection along the remaining path and use its check as the
+        # liveness flag (descending ungated would let a filtered-out
+        # site's fldj leak into the total).
+        sel = chm.selection
+        for comp in path:
+            sel = sel(comp)
+        flag = sel.check()
         new_inner, found = _map_at(
             chm.inner, path, fn, _and_gate(gate, flag), branch
         )
@@ -270,7 +309,8 @@ def _safe_inverse(bij: Bijector, v, gate):
     (``forward(0)``) before inverting."""
     g = jnp.asarray(gate)
     g_in = jnp.reshape(g, g.shape + (1,) * (jnp.ndim(v) - g.ndim))
-    probe = bij.forward(jnp.zeros_like(bij.inverse(jnp.ones_like(v))))
+    u_shape = jax.eval_shape(bij.inverse, v)
+    probe = bij.forward(jnp.zeros(u_shape.shape, u_shape.dtype))
     safe = jnp.where(g_in, v, probe)
     u = bij.inverse(safe)
     g_out = jnp.reshape(g, g.shape + (1,) * (jnp.ndim(u) - g.ndim))
@@ -278,13 +318,19 @@ def _safe_inverse(bij: Bijector, v, gate):
 
 
 def _resolve_spec(spec, branch):
-    if isinstance(spec, PerBranch):
-        if branch is None:
+    """``branch``: the Switch branch-index stack (outermost first).
+    Each PerBranch layer corresponds to one wrapped Switch level —
+    ``infer_transforms`` wraps every level that has any PerBranch
+    beneath it, so layers peel contiguously from the outside in."""
+    stack = tuple(branch) if branch is not None else ()
+    while isinstance(spec, PerBranch):
+        if not stack:
             raise ValueError(
-                "PerBranch transform spec used at an address that is not "
-                "under a Switch node."
+                "PerBranch transform spec used at an address that is "
+                "not under (enough) Switch nodes."
             )
-        return get_bijector(spec.specs[branch])
+        spec = spec.specs[stack[0]]
+        stack = stack[1:]
     return get_bijector(spec)
 
 
@@ -380,12 +426,28 @@ def infer_transforms(trace, *, exclude=None) -> dict:
                 d: dict = {}
                 walk(sub, path, d)
                 per.append(d)
-            for addr in {a for d in per for a in d}:
+            # First-seen address order (a set comprehension would make
+            # the transforms-dict — and hence the fldj summation order —
+            # vary with PYTHONHASHSEED).
+            seen: list = []
+            for d in per:
+                for a in d:
+                    if a not in seen:
+                        seen.append(a)
+            for addr in seen:
                 specs = [d.get(addr, _ABSENT) for d in per]
                 present = [s for s in specs if s is not _ABSENT]
-                if all(s == present[0] for s in present):
+                nested = any(isinstance(s, PerBranch) for s in present)
+                if not nested and all(
+                    _spec_equal(s, present[0]) for s in present
+                ) and len(present) == len(specs):
                     sink[addr] = present[0]
                 else:
+                    # Wrap whenever any branch disagrees, is absent, OR
+                    # already carries a PerBranch: every Switch level
+                    # with a PerBranch beneath gets its own layer, so
+                    # resolution peels layers outer-first in lockstep
+                    # with the branch-index stack (_resolve_spec).
                     sink[addr] = PerBranch(tuple(
                         None if s is _ABSENT else s for s in specs
                     ))

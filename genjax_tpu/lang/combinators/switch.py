@@ -73,7 +73,10 @@ class SwitchTrace(Trace[Any]):
             try:
                 subs.append(tr.get_inner_trace(address))
                 have.append(k)
-            except (KeyError, NotImplementedError):
+            except KeyError:
+                # Absent in this branch. (A nested Switch's ambiguity
+                # NotImplementedError propagates — swallowing it would
+                # silently return another branch's dead placeholder.)
                 pass
         if not subs:
             raise KeyError(f"No subtrace at address {address!r}")

@@ -212,3 +212,118 @@ class TestLanesLeadingSwitch:
             np.testing.assert_allclose(
                 np.asarray(got)[lane], np.asarray(want), rtol=1e-6
             )
+
+
+class TestTransformsReviewRegressions:
+    """Late round-2 self-review fixes."""
+
+    def _nested(self):
+        @g.gen
+        def n0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def n1():
+            return g.normal(1.0, 1.0) @ "x"
+
+        @g.gen
+        def gm():
+            return g.gamma(2.0, 2.0) @ "x"
+
+        @g.gen
+        def inner_m(i):
+            return g.switch(n0, n1)(i, (), ()) @ "isw"
+
+        outer = g.switch(inner_m, gm)
+
+        @g.gen
+        def model(oi, ii):
+            return outer(oi, (ii,), ()) @ "sw"
+
+        return model
+
+    @staticmethod
+    def _unwrap(v):
+        from genjax_tpu.gfi.mask import Mask
+
+        while isinstance(v, Mask):
+            v = v.value
+        return v
+
+    def test_nested_switch_perbranch_levels(self):
+        """PerBranch layers peel outer-first: the live plain-normal
+        leaf under a nested Switch gets the identity bijector (the old
+        innermost-branch indexing applied the gamma's softplus to it —
+        fldj was nonzero and the geometry warped)."""
+        model = self._nested()
+        tr = model.simulate(
+            jax.random.key(0), (jnp.asarray(0), jnp.asarray(1))
+        )
+        t = infer_transforms(tr)
+        chm = tr.get_choices()
+        u = unconstrain_choices(chm, t)
+        x2, fldj = constrain_choices(u, t)
+        v0 = self._unwrap(chm.get_submap("sw", "isw", "x").get_value())
+        v1 = self._unwrap(x2.get_submap("sw", "isw", "x").get_value())
+        assert jnp.allclose(v0, v1, atol=1e-5)
+        assert float(fldj) == 0.0  # identity on the live leaf
+
+    def test_oob_switch_idx_clamps(self):
+        """Transform liveness gates follow the Switch's documented
+        clamping (an OOB idx previously marked every branch dead,
+        corrupting values and dropping fldj)."""
+        model = self._nested()
+        tr = model.simulate(
+            jax.random.key(0), (jnp.asarray(5), jnp.asarray(0))
+        )
+        t = infer_transforms(tr)
+        chm = tr.get_choices()
+        u = unconstrain_choices(chm, t)
+        x2, fldj = constrain_choices(u, t)
+        v0 = self._unwrap(chm.get_submap("sw", "x").get_value())
+        v1 = self._unwrap(x2.get_submap("sw", "x").get_value())
+        assert jnp.allclose(v0, v1, atol=1e-5)
+        assert float(fldj) != 0.0  # the gamma leaf is live
+
+    def test_vector_arg_uniform_branches(self):
+        """Array-valued interval bounds no longer crash the branch
+        support merge ('truth value of an array is ambiguous')."""
+        @g.gen
+        def bu():
+            return g.uniform(jnp.zeros(3), jnp.ones(3)) @ "x"
+
+        @g.gen
+        def model():
+            return g.switch(bu, bu)(jnp.asarray(0), (), ()) @ "sw"
+
+        tr = model.simulate(jax.random.key(0), ())
+        t = infer_transforms(tr)
+        assert ("sw", "x") in t
+
+    def test_filtered_subtree_fldj_gated(self):
+        """A filtered-out subtree's transformed leaf contributes 0 to
+        fldj (the lazy Filtered descent previously went ungated)."""
+        @g.gen
+        def n0():
+            return g.normal(0.0, 1.0) @ "x"
+
+        @g.gen
+        def model():
+            return g.switch(n0, n0)(jnp.asarray(0), (), ()) @ "sw"
+
+        tr = model.simulate(jax.random.key(0), ())
+        dead = tr.get_choices().filter(jnp.asarray(False))
+        _, fldj = constrain_choices(dead, {("sw", "x"): "positive"})
+        assert float(fldj) == 0.0
+        live = tr.get_choices().filter(jnp.asarray(True))
+        _, fldj2 = constrain_choices(live, {("sw", "x"): "positive"})
+        assert float(fldj2) != 0.0
+
+    def test_unit_interval_spec(self):
+        from genjax_tpu.inference.transforms import get_bijector
+        import pytest
+
+        b = get_bijector("unit_interval")
+        assert float(b.forward(jnp.asarray(0.0))) == 0.5
+        with pytest.raises(ValueError, match="Unknown bijector"):
+            get_bijector("nope")
