@@ -164,13 +164,34 @@ def map_optimize(key: jax.Array, target: Target, *,
 
 
 def laplace_approximation(target: Target, latents: ChoiceMap, *,
-                          transforms=None) -> LaplaceResult:
+                          transforms=None,
+                          key: jax.Array | None = None) -> LaplaceResult:
     """Second-order expansion of the transformed-space log density at
     ``latents`` (constrained-space latent choice map, e.g.
-    ``map_optimize(..., include_jacobian=True).choices``)."""
+    ``map_optimize(..., include_jacobian=True).choices``).
+
+    ``latents`` must cover every unconstrained address of the target: the
+    expansion point must be fully determined by the caller, not by hidden
+    draws. Sites not covered would be silently sampled; that is rejected
+    unless an explicit ``key`` is passed (in which case the caller owns
+    the randomness of the fill-in draws)."""
     # Build a trace-free split: reuse the target's model via a scored
     # generate at the given latents (weights unused).
-    tr, _ = target.importance(jax.random.key(0), latents)
+    gen_key = jax.random.key(0) if key is None else key
+    tr, _ = target.importance(gen_key, latents)
+    if key is None:
+        # Every unconstrained choice in the trace must have come from
+        # `latents` — any leaf surviving the complement filter was sampled.
+        uncon = target.filter_to_unconstrained(tr.get_choices())
+        hidden = uncon.filter(~latents.get_selection())
+        if not hidden.static_is_empty():
+            raise ValueError(
+                "laplace_approximation: `latents` does not cover all "
+                "unconstrained addresses of the target; the uncovered "
+                "sites would be silently sampled with a fixed key. Pass "
+                "a full latent choice map, or an explicit `key` to own "
+                "the fill-in draws."
+            )
     tf = _resolve_transforms(target, tr, transforms)
     grad_tree, nongrad_tree, logpost = _split_latents(target, tr, tf)
     flat, unravel = ravel_pytree(grad_tree)

@@ -175,7 +175,15 @@ def parallel_tempering(
         if burn_in and samples is not None:
             samples = jtu.tree_map(lambda v: v[burn_in:], samples)
         # Swap attempts alternate phases: average over the attempts only.
-        swap_rate = jnp.nanmean(swaps, axis=0)
+        # A rung pair whose phase never ran (e.g. odd pairs when
+        # n_steps == 1) has zero attempts — report NaN for it without
+        # tripping numpy's all-NaN-slice warning.
+        attempted = jnp.isfinite(swaps)
+        n_att = jnp.sum(attempted, axis=0)
+        swap_sum = jnp.sum(jnp.where(attempted, swaps, 0.0), axis=0)
+        swap_rate = jnp.where(
+            n_att > 0, swap_sum / jnp.maximum(n_att, 1), jnp.nan
+        )
         return ParallelTemperingResult(
             trs, samples, jnp.mean(accs, axis=0), swap_rate
         )

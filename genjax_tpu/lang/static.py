@@ -82,7 +82,11 @@ _HANDLER_STACK: list["StaticHandler"] = []
 # lang/static_edit.py). Set False to force the coarse handler path.
 FINE_GRAINED_EDITS = True
 
-#: handle_kwargs wrapper cache (see Fn.handle_kwargs: treedef stability).
+#: handle_kwargs wrapper fallback cache for callables without a ``__dict__``
+#: (see Fn.handle_kwargs). The common case caches on the source function
+#: itself so the wrapper's lifetime is tied to its source; a weak-key dict
+#: would not work here because the cached Fn closes over the source (the
+#: value would strongly reference the key, pinning the entry forever).
 _KWARGED_FNS: dict = {}
 
 
@@ -628,15 +632,21 @@ class Fn(GenerativeFunction[Any]):
         traces of the same model structurally unequal — breaking
         ``tree_map`` over trace pairs (MH accept/reject), ``lax.scan``
         carries, and vmap."""
-        fn = _KWARGED_FNS.get(self.source)
+        source = self.source
+        inst_dict = getattr(source, "__dict__", None)
+        cache = inst_dict if isinstance(inst_dict, dict) else _KWARGED_FNS
+        cache_key = "__genjax_kwarged__" if cache is inst_dict else source
+        fn = cache.get(cache_key)
         if fn is None:
-            source = self.source
 
             def kwarged_source(args, kwargs):
                 return source(*args, **kwargs)
 
             fn = Fn(kwarged_source)
-            _KWARGED_FNS[self.source] = fn
+            try:
+                cache[cache_key] = fn
+            except TypeError:  # unhashable exotic callable: skip caching
+                pass
         return fn
 
     def partial_apply(self, *pre_args) -> "Fn":

@@ -151,3 +151,24 @@ class TestDiagnostics:
         # x = 0 is a local MINIMUM between the two modes at +-2.
         lap = laplace_approximation(tgt, g.C["x"].set(0.0))
         assert bool(jnp.isnan(lap.log_z))
+
+    def test_uncovered_latent_raises(self):
+        """A latent map that misses an unconstrained address must fail
+        loudly (the expansion point would otherwise depend on hidden
+        fixed-key draws), unless the caller passes an explicit key."""
+
+        @g.gen
+        def two_latents():
+            a = g.normal(0.0, 1.0) @ "a"
+            b = g.normal(a, 1.0) @ "b"
+            _ = g.normal(b, 0.5) @ "y"
+            return b
+
+        tgt = Target(two_latents, (), g.C["y"].set(1.0))
+        with pytest.raises(ValueError, match="does not cover"):
+            laplace_approximation(tgt, g.C["a"].set(0.5))
+        # explicit key: caller owns the fill-in draws; no raise
+        lap = laplace_approximation(
+            tgt, g.C["a"].set(0.5), key=jax.random.key(7)
+        )
+        assert lap.cov.shape == (2, 2)
