@@ -50,6 +50,8 @@ def particle_filter(
     resampling: str = "systematic",
     batched: bool = False,
     shard_constraint: Callable[[Any], Any] | None = None,
+    stats_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array]] | None = None,
+    resample_fn: Callable[[jax.Array, jax.Array, Any], Any] | None = None,
 ):
     """Generic particle filter.
 
@@ -73,10 +75,33 @@ def particle_filter(
     init and after each propagation — pass a
     ``with_sharding_constraint``-style function to pin the particle axis
     to a mesh axis (see ``genjax_tpu.parallel.sharded_particle_filter``).
+
+    ``stats_fn(log_weights) -> (lse, ess)`` and
+    ``resample_fn(key, log_weights, particles) -> particles`` (optional):
+    override the weight reductions and the resampling with explicit-
+    collective implementations when the particle axis is sharded (the
+    product distributed path — ``parallel.sharded_particle_filter``
+    builds them from ``parallel.collectives``). Defaults reproduce the
+    single-device computation exactly.
     """
     constrain = shard_constraint if shard_constraint is not None else (
         lambda tree: tree
     )
+    if stats_fn is None:
+        def stats_fn(lw):
+            lse = logsumexp(lw)
+            return lse, jnp.exp(2.0 * lse - logsumexp(2.0 * lw))
+
+        def lse_fn(lw):
+            return logsumexp(lw)
+    else:
+        # Emission points need lse only; reuse the caller's reduction
+        # (the ESS half is dead code XLA removes when unused).
+        def lse_fn(lw):
+            return stats_fn(lw)[0]
+    if resample_fn is None:
+        def resample_fn(key, lw, particles):
+            return resample_tree(key, lw, particles, n_particles, resampling)
 
     def run(key: jax.Array, observations: Any):
         k_init, k_scan = jax.random.split(key)
@@ -103,15 +128,11 @@ def particle_filter(
             # One ensemble-wide pass serves the ESS normalizer AND the
             # resample branch's logZ delta (a logsumexp inside the cond
             # could not be CSE'd with one outside it).
-            lse = logsumexp(fs.log_weights)
-            ess = jnp.exp(
-                2.0 * lse - logsumexp(2.0 * fs.log_weights)
-            )
+            lse, ess = stats_fn(fs.log_weights)
 
             def do_resample(fs: FilterState) -> FilterState:
-                particles = constrain(resample_tree(
-                    k_res, fs.log_weights, fs.particles, n_particles,
-                    resampling,
+                particles = constrain(resample_fn(
+                    k_res, fs.log_weights, fs.particles,
                 ))
                 # Invariant: logẐ_t = log_z + logsumexp(w) − log K;
                 # resampling absorbs the mass into log_z and resets w.
@@ -141,7 +162,7 @@ def particle_filter(
                 )(prop_keys, fs.particles)
             log_weights = constrain(fs.log_weights + incr)
             new_fs = FilterState(constrain(particles), log_weights, fs.log_z)
-            return new_fs, fs.log_z + logsumexp(log_weights) - jnp.log(
+            return new_fs, fs.log_z + lse_fn(log_weights) - jnp.log(
                 n_particles
             )
 
@@ -152,9 +173,7 @@ def particle_filter(
         final = FilterState(
             final.particles,
             final.log_weights,
-            final.log_z
-            + logsumexp(final.log_weights)
-            - jnp.log(n_particles),
+            final.log_z + lse_fn(final.log_weights) - jnp.log(n_particles),
         )
         return final, log_zs
 

@@ -15,6 +15,16 @@ from genjax_tpu.parallel.bootstrap import (
     is_multihost,
     local_particle_slice,
 )
+from genjax_tpu.parallel.collectives import (
+    blocked_ess,
+    blocked_logz,
+    blocked_stats,
+    ring_resample_step,
+    ring_systematic_resample,
+    shardmap_ess,
+    shardmap_logz,
+    shardmap_systematic_resample,
+)
 from genjax_tpu.parallel.pf import sharded_particle_filter
 from genjax_tpu.parallel.smc import (
     sharded_importance,
@@ -26,6 +36,14 @@ __all__ = [
     "Mesh",
     "NamedSharding",
     "P",
+    "blocked_ess",
+    "blocked_logz",
+    "blocked_stats",
+    "ring_resample_step",
+    "ring_systematic_resample",
+    "shardmap_ess",
+    "shardmap_logz",
+    "shardmap_systematic_resample",
     "host_device_mesh",
     "init_distributed",
     "is_multihost",

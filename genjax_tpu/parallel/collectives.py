@@ -34,6 +34,11 @@ __all__ = [
     "shardmap_logz",
     "shardmap_ess",
     "shardmap_systematic_resample",
+    "blocked_logz",
+    "blocked_ess",
+    "blocked_stats",
+    "ring_systematic_resample",
+    "ring_resample_step",
 ]
 
 
@@ -160,3 +165,272 @@ def shardmap_systematic_resample(key: jax.Array, log_weights: jax.Array,
         check_vma=False,
     )(key, log_weights, *flat)
     return jtu.tree_unflatten(treedef, list(out_flat))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (layout-independent) blocked-CDF product path
+# ---------------------------------------------------------------------------
+#
+# The psum-offset resampler above is semantically correct but its CDF bit
+# patterns depend on the device count D (block-local cumsum sizes follow
+# N/D), so the SAME program on a 1-device and an 8-device mesh can differ
+# at ulp-straddling grid points. The product path below removes that: all
+# float summation happens in FIXED-size units chosen independently of D —
+#
+#   1. within fixed B-lane blocks: one size-B cumsum per block (the
+#      association XLA picks is a function of B only);
+#   2. across the n/B block sums: all_gather (n/B scalars — O(n/B), never
+#      O(n) state) and a replicated size-(n/B) cumsum;
+#   3. the monotone repair (cummax) uses max, which is exactly
+#      associative, so it is order-independent by construction.
+#
+# Result: offspring counts, and therefore the resampled ensemble, are
+# BITWISE identical for any mesh layout with D ≤ n/B — the contract
+# `tests/parallel/test_collectives.py` pins (8- vs 4- vs 1-device mesh).
+# Communication per device per resample: one all_gather of 2·(n/B) f32
+# block stats + (D−1) ppermute steps of the (n/D)-slot particle block
+# (starts/ends int32 + state leaves) — the comm-volume model in
+# BASELINE.md. New scope vs the reference (no distributed backend there).
+
+
+def _pick_block(local_n: int, block: int) -> int:
+    b = min(block, local_n)
+    while local_n % b:
+        b -= 1
+    return b
+
+
+def _blocked_cdf_stats(lw, axis_name, n, n_dev, d, block):
+    """Shard-local blocked CDF machinery. Returns
+    ``(within, seeds, total_raw, total_rep, sum_sq, m)`` where ``within``
+    is the (nb_local, B) within-block raw prefix, ``seeds`` the
+    replicated exclusive prefix-max of per-block cum maxima (the global
+    cummax seam values), ``total_raw`` the raw Σexp (for logZ/ESS),
+    ``total_rep`` the repaired CDF total (for count scaling), ``sum_sq``
+    Σexp² (for ESS) and ``m`` the global max log-weight."""
+    local_n = lw.shape[0]
+    b = _pick_block(local_n, block)
+    nb_local = local_n // b
+    m = lax.pmax(jnp.max(lw), axis_name)
+    e = jnp.exp(lw - m)
+    eb = e.reshape(nb_local, b)
+    within = jnp.cumsum(eb, axis=1)               # fixed-B association
+    bsums = within[:, -1]
+    bmaxs = jnp.max(within, axis=1)               # max: exactly assoc.
+    s2 = jnp.sum(eb * eb, axis=1)                 # fixed-B association
+    stats = jnp.stack([bsums, bmaxs, s2])         # (3, nb_local)
+    all_stats = lax.all_gather(stats, axis_name, axis=1, tiled=True)
+    all_bsums, all_bmaxs, all_s2 = all_stats      # (nb_global,) each
+    bcum = jnp.cumsum(all_bsums)                  # fixed n/B association
+    bcum_excl = jnp.concatenate([jnp.zeros(1, bcum.dtype), bcum[:-1]])
+    total_raw = bcum[-1]
+    sum_sq = jnp.sum(all_s2)                      # fixed n/B association
+    # Global flattened-cummax seam values: seeds[j] = max raw cum over
+    # all elements strictly before block j (max is exact, any order).
+    block_cummaxes = bcum_excl + all_bmaxs
+    seam = lax.cummax(block_cummaxes)
+    seeds = jnp.concatenate([jnp.zeros(1, seam.dtype), seam[:-1]])
+    total_rep = seam[-1]
+    return within, seeds, bcum_excl, total_raw, total_rep, sum_sq, m
+
+
+def _blocked_counts(key, within, seeds, bcum_excl, total_rep,
+                    n, n_dev, d, local_n):
+    """Layout-independent systematic offspring interval [starts, ends)
+    per local particle (GLOBAL output indices), exactly the blocked
+    analogue of ``inference.smc.systematic_offspring_cumulative``
+    (cummax monotone repair + exact-n tail pin)."""
+    nb_local, b = within.shape
+    my_seeds = lax.dynamic_slice(seeds, (d * nb_local,), (nb_local,))
+    my_off = lax.dynamic_slice(bcum_excl, (d * nb_local,), (nb_local,))
+    raw = my_off[:, None] + within
+    cum = jnp.maximum(lax.cummax(raw, axis=1), my_seeds[:, None])
+    u0 = jax.random.uniform(key, ())              # same key ⇒ same u0
+    scale = n / total_rep
+    ends = jnp.clip(
+        jnp.ceil(cum.reshape(local_n) * scale - u0), 0, n
+    ).astype(jnp.int32)
+    # Exact tail: the globally-last element owns dest n (f32 rounding
+    # otherwise drops it for ~25% of seeds; BASELINE.md).
+    ends = ends.at[-1].set(
+        jnp.where(d == n_dev - 1, n, ends[-1])
+    )
+    first_cum = my_seeds[0]                       # repaired predecessor
+    first = jnp.clip(
+        jnp.ceil(first_cum * scale - u0), 0, n
+    ).astype(jnp.int32)
+    first = jnp.where(d == 0, 0, first)
+    starts = jnp.concatenate([first[None], ends[:-1]])
+    return starts, ends
+
+
+def _ring_redistribute(axis_name, n_dev, local_n, d, starts, ends, leaves):
+    """Stream shards' (starts, ends, state) blocks around the ring; each
+    output slot takes the unique particle whose offspring run covers it.
+    The run lookup is a scatter-mark + cumsum rank count (no
+    ``searchsorted`` — TPU binary-search lowering is ~100× slower than a
+    scatter+cumsum at 1M, CLAUDE.md).
+
+    Early exit: the ring runs under ``lax.while_loop`` and stops as soon
+    as EVERY device's slots are filled (one psum'd scalar per step).
+    Systematic offspring runs are contiguous in global output order, so
+    with a balanced resample each shard's slots are covered by its own
+    and adjacent blocks — the expected trip count is 2-3 regardless of
+    D, cutting per-device comm from O(N) (full ring) to O(N·k/D). The
+    result is bitwise identical to the full D-step ring (slots are
+    filled by exactly one run; stopping after coverage changes
+    nothing)."""
+    base = d * local_n
+
+    out_leaves = [jnp.zeros((local_n,) + l.shape[1:], l.dtype)
+                  for l in leaves]
+    filled = jnp.zeros((local_n,), bool)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def ring_step(carry):
+        step, _all_done, out_leaves, filled, blk_starts, blk_ends, \
+            blk_leaves = carry
+        # idx(t) = #{i : blk_starts[i] ≤ base+t} − 1 via marks+cumsum.
+        rel = blk_starts - base
+        nbefore = jnp.sum((rel < 0).astype(jnp.int32))
+        pos = jnp.where((rel < 0) | (rel >= local_n), local_n, rel)
+        marks = jnp.zeros(local_n, jnp.int32).at[pos].add(
+            1, mode="drop"
+        )
+        idx = jnp.clip(
+            nbefore + jnp.cumsum(marks) - 1, 0, local_n - 1
+        )
+        j_global = base + jnp.arange(local_n)
+        hit = (j_global >= blk_starts[idx]) & (j_global < blk_ends[idx])
+        out_leaves = [
+            jnp.where(
+                hit.reshape((-1,) + (1,) * (o.ndim - 1)), bl[idx], o
+            )
+            for o, bl in zip(out_leaves, blk_leaves)
+        ]
+        filled = filled | hit
+        unfilled = lax.psum(
+            jnp.sum((~filled).astype(jnp.int32)), axis_name
+        )
+        all_done = unfilled == 0
+        blk_starts = lax.ppermute(blk_starts, axis_name, perm)
+        blk_ends = lax.ppermute(blk_ends, axis_name, perm)
+        blk_leaves = [lax.ppermute(x, axis_name, perm)
+                      for x in blk_leaves]
+        return (step + 1, all_done, out_leaves, filled, blk_starts,
+                blk_ends, blk_leaves)
+
+    carry = (jnp.int32(0), jnp.asarray(False), out_leaves, filled,
+             starts, ends, list(leaves))
+    if n_dev == 1:
+        carry = ring_step(carry)
+    else:
+        carry = lax.while_loop(
+            lambda c: (~c[1]) & (c[0] < n_dev),
+            ring_step,
+            carry,
+        )
+    return carry[2]
+
+
+def _mesh_axis_size(mesh: Mesh, axis_name) -> int:
+    if isinstance(axis_name, tuple):
+        out = 1
+        for a in axis_name:
+            out *= mesh.shape[a]
+        return out
+    return mesh.shape[axis_name]
+
+
+def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
+                       mesh: Mesh, axis_name="particles",
+                       block: int = 256):
+    """The product distributed-resampling step, fused into ONE
+    ``shard_map``: deterministic blocked logZ̄/ESS + systematic offspring
+    counts + ``ppermute`` ring redistribution of the particle state.
+
+    Returns ``(resampled_tree, logz, ess)``. Bitwise layout-independent
+    (same result on a 1-, 2-, 4-, 8-… device mesh) whenever
+    ``block ≤ n/D`` for every compared layout; the full N-particle state
+    and weight vector are never materialized on one device."""
+    n = log_weights.shape[0]
+    n_dev = _mesh_axis_size(mesh, axis_name)
+    local_n = n // n_dev
+    flat, treedef = jtu.tree_flatten(tree)
+
+    def local(key, lw, *leaves):
+        d = lax.axis_index(axis_name)
+        (within, seeds, bcum_excl, total_raw, total_rep, sum_sq,
+         m) = _blocked_cdf_stats(lw, axis_name, n, n_dev, d, block)
+        logz = m + jnp.log(total_raw) - jnp.log(n)
+        ess = total_raw * total_raw / sum_sq
+        starts, ends = _blocked_counts(
+            key, within, seeds, bcum_excl, total_rep,
+            n, n_dev, d, local_n,
+        )
+        out = _ring_redistribute(
+            axis_name, n_dev, local_n, d, starts, ends, list(leaves)
+        )
+        return (logz[None], ess[None], *out)
+
+    specs_in = (P(), P(axis_name)) + tuple(P(axis_name) for _ in flat)
+    specs_out = (P(axis_name), P(axis_name)) + tuple(
+        P(axis_name) for _ in flat
+    )
+    logz, ess, *out_flat = jax.shard_map(
+        local, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+        check_vma=False,
+    )(key, log_weights, *flat)
+    return jtu.tree_unflatten(treedef, list(out_flat)), logz[0], ess[0]
+
+
+def ring_systematic_resample(key: jax.Array, log_weights: jax.Array,
+                             tree, mesh: Mesh, axis_name="particles",
+                             block: int = 256):
+    """Deterministic distributed systematic resampling (see
+    :func:`ring_resample_step`), returning just the resampled tree."""
+    out, _, _ = ring_resample_step(
+        key, log_weights, tree, mesh, axis_name, block
+    )
+    return out
+
+
+def blocked_stats(log_weights, mesh, axis_name="particles",
+                  block: int = 256):
+    """``(logZ̄, ESS)`` in ONE ``shard_map`` (one all_gather of block
+    sums) with layout-independent summation order."""
+    return _blocked_stats_only(log_weights, mesh, axis_name, block)
+
+
+def _blocked_stats_only(log_weights, mesh, axis_name, block):
+    n = log_weights.shape[0]
+    n_dev = _mesh_axis_size(mesh, axis_name)
+
+    def local(lw):
+        d = lax.axis_index(axis_name)
+        (_, _, _, total_raw, _, sum_sq, m) = _blocked_cdf_stats(
+            lw, axis_name, n, n_dev, d, block
+        )
+        logz = m + jnp.log(total_raw) - jnp.log(n)
+        ess = total_raw * total_raw / sum_sq
+        return logz[None], ess[None]
+
+    logz, ess = jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis_name),
+        out_specs=(P(axis_name), P(axis_name)), check_vma=False,
+    )(log_weights)
+    return logz[0], ess[0]
+
+
+def blocked_logz(log_weights: jax.Array, mesh: Mesh,
+                 axis_name="particles", block: int = 256) -> jax.Array:
+    """log Z̄ with layout-independent (fixed-block) summation order —
+    the deterministic counterpart of :func:`shardmap_logz`."""
+    return _blocked_stats_only(log_weights, mesh, axis_name, block)[0]
+
+
+def blocked_ess(log_weights: jax.Array, mesh: Mesh,
+                axis_name="particles", block: int = 256) -> jax.Array:
+    """ESS with layout-independent summation order — the deterministic
+    counterpart of :func:`shardmap_ess`."""
+    return _blocked_stats_only(log_weights, mesh, axis_name, block)[1]

@@ -105,7 +105,7 @@ class TestDistributedResample:
         )(key, lw_s, xs_s)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_hlo_has_permute_but_no_full_gather(self, mesh):
+    def test_hlo_has_permute_but_no_full_gather_psum_path(self, mesh):
         key = jax.random.key(3)
         lw = _weights(jax.random.key(4))
         xs = jax.random.normal(jax.random.key(5), (N,))
@@ -121,6 +121,197 @@ class TestDistributedResample:
         # No collective may materialize the full N-particle state on one
         # device: every all-gather/all-reduce output stays O(N/D) or
         # scalar-sized (the D block sums).
+        for line in txt.splitlines():
+            if "all-gather" in line or "all-reduce" in line:
+                assert f"f32[{N}]" not in line, line
+                assert f"s32[{N}]" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# Deterministic blocked-CDF product path (VERDICT r2 item 1)
+# ---------------------------------------------------------------------------
+
+from genjax_tpu.parallel.collectives import (  # noqa: E402
+    blocked_ess,
+    blocked_logz,
+    ring_resample_step,
+    ring_systematic_resample,
+)
+
+
+def _mesh_of(d):
+    return jax.sharding.Mesh(
+        np.asarray(jax.devices()[:d]), ("particles",)
+    )
+
+
+class TestBlockedStats:
+    def test_logz_ess_match_global(self):
+        lw = _weights(jax.random.key(0))
+        from jax.scipy.special import logsumexp
+
+        mesh = _mesh_of(8)
+        np.testing.assert_allclose(
+            float(blocked_logz(lw, mesh)),
+            float(logsumexp(lw) - jnp.log(N)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(blocked_ess(lw, mesh)),
+            float(effective_sample_size(lw)),
+            rtol=1e-5,
+        )
+
+    def test_bitwise_across_layouts(self):
+        lw = _weights(jax.random.key(11))
+        vals = [
+            (
+                float(jax.jit(
+                    lambda w, m=_mesh_of(d): blocked_logz(w, m)
+                )(lw)),
+                float(jax.jit(
+                    lambda w, m=_mesh_of(d): blocked_ess(w, m)
+                )(lw)),
+            )
+            for d in (1, 2, 4, 8)
+        ]
+        assert all(v == vals[0] for v in vals[1:]), vals
+
+
+class TestRingResampleProduct:
+    def test_bitwise_across_layouts(self):
+        """The product contract: identical bits on 1/2/4/8-device
+        meshes (fixed-block CDF summation; VERDICT r2 item 1)."""
+        key = jax.random.key(3)
+        lw = _weights(jax.random.key(4))
+        xs = jax.random.normal(jax.random.key(5), (N,))
+        aux = jax.random.normal(jax.random.key(6), (N, 3))
+        outs = []
+        for d in (1, 2, 4, 8):
+            tree, logz, ess = jax.jit(
+                lambda k, w, t, m=_mesh_of(d): ring_resample_step(
+                    k, w, t, m
+                )
+            )(key, lw, (xs, aux))
+            outs.append(
+                (np.asarray(tree[0]), np.asarray(tree[1]),
+                 float(logz), float(ess))
+            )
+        for o in outs[1:]:
+            np.testing.assert_array_equal(o[0], outs[0][0])
+            np.testing.assert_array_equal(o[1], outs[0][1])
+            assert o[2] == outs[0][2]
+            assert o[3] == outs[0][3]
+
+    def test_near_agreement_with_single_device_resampler(self):
+        key = jax.random.key(3)
+        lw = _weights(jax.random.key(4))
+        xs = jax.random.normal(jax.random.key(5), (N,))
+        want = resample_tree(key, lw, xs, N, "systematic")
+        got = ring_systematic_resample(key, lw, xs, _mesh_of(8))
+        mism = int(np.sum(np.asarray(want) != np.asarray(got)))
+        assert mism <= 4, mism
+
+    def test_skewed_weights_cross_shard(self):
+        key = jax.random.key(7)
+        lw = jnp.full((N,), -1e9).at[:4].set(
+            jnp.array([0.0, 0.1, 0.2, 0.3])
+        )
+        xs = jnp.arange(N, dtype=jnp.float32)
+        want = resample_tree(key, lw, xs, N, "systematic")
+        got = ring_systematic_resample(key, lw, xs, _mesh_of(8))
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    def test_every_slot_filled_stress(self):
+        """Offspring-run coverage is a partition of [0, N): every output
+        slot is hit exactly once, across many weight seeds."""
+        xs = jnp.arange(N, dtype=jnp.float32)
+        for seed in range(8):
+            lw = _weights(jax.random.key(100 + seed)) * (seed + 1)
+            got = ring_systematic_resample(
+                jax.random.key(seed), lw, xs, _mesh_of(8)
+            )
+            # Ancestors are the sorted systematic choice of resample_tree
+            # up to ulp boundaries; partition => output is sorted and
+            # every value is a valid index.
+            a = np.asarray(got)
+            assert (np.diff(a) >= 0).all()
+            assert (a >= 0).all() and (a < N).all()
+
+    def test_product_step_hlo(self, mesh):
+        key = jax.random.key(3)
+        lw = _weights(jax.random.key(4))
+        xs = jax.random.normal(jax.random.key(5), (N,))
+        txt = (
+            jax.jit(
+                lambda k, w, t: ring_resample_step(k, w, t, mesh)
+            )
+            .lower(key, lw, xs)
+            .compile()
+            .as_text()
+        )
+        assert "collective-permute" in txt
+        for line in txt.splitlines():
+            if "all-gather" in line or "all-reduce" in line:
+                assert f"f32[{N}]" not in line, line
+                assert f"s32[{N}]" not in line, line
+
+
+class TestProductShardedSMC:
+    def test_sharded_smc_step_bitwise_across_layouts(self):
+        import genjax_tpu as g
+        from genjax_tpu.inference import Target
+        from genjax_tpu.parallel import sharded_smc_step
+
+        @g.gen
+        def bb(a, b):
+            p = g.beta(a, b) @ "p"
+            v = g.flip(p) @ "v"
+            return v
+
+        target = Target(bb, (2.0, 2.0), g.C["v"].set(True))
+        key = jax.random.key(314159)
+        outs = []
+        for d in (1, 8):
+            col, logz = jax.jit(
+                sharded_smc_step(
+                    target, 2048, _mesh_of(d), ess_threshold=1.1
+                )
+            )(key)
+            outs.append(
+                (np.asarray(col.get_particles().get_choices()["p"]),
+                 float(logz))
+            )
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        assert outs[0][1] == outs[1][1]
+
+    def test_sharded_pf_collective_bitwise_and_hlo(self):
+        from genjax_tpu.parallel import sharded_particle_filter
+
+        def init(key):
+            return jax.random.normal(key), jnp.zeros(())
+
+        def step(key, x, y):
+            x_new = 0.9 * x + 0.3 * jax.random.normal(key)
+            return x_new, jax.scipy.stats.norm.logpdf(y, x_new, 0.5)
+
+        ys = jnp.asarray([0.1, -0.2, 0.3, 0.0])
+        key = jax.random.key(314159)
+        res = []
+        for d in (1, 8):
+            pf = sharded_particle_filter(init, step, N, _mesh_of(d))
+            fin, _ = jax.jit(lambda k, p=pf: p(k, ys))(key)
+            res.append(
+                (np.asarray(fin.particles), float(fin.log_z))
+            )
+        np.testing.assert_array_equal(res[0][0], res[1][0])
+        assert res[0][1] == res[1][1]
+
+        pf = sharded_particle_filter(init, step, N, _mesh_of(8))
+        txt = (
+            jax.jit(lambda k: pf(k, ys)).lower(key).compile().as_text()
+        )
+        assert "collective-permute" in txt
         for line in txt.splitlines():
             if "all-gather" in line or "all-reduce" in line:
                 assert f"f32[{N}]" not in line, line
