@@ -63,11 +63,9 @@ def welford_init(d: int) -> WelfordState:
     return WelfordState(jnp.zeros(d), jnp.zeros(d), jnp.zeros(()))
 
 
-def welford_update_batch(state: WelfordState, zs: jax.Array) -> WelfordState:
-    """Fold a whole (chains, D) batch in — the cross-chain reduction."""
-    n_b = zs.shape[0]
-    mean_b = jnp.mean(zs, axis=0)
-    m2_b = jnp.sum((zs - mean_b) ** 2, axis=0)
+def welford_update_moments(state: WelfordState, mean_b: jax.Array,
+                           m2_b: jax.Array, n_b) -> WelfordState:
+    """Fold pre-reduced batch moments (Chan parallel combine) in."""
     n = state.count
     total = n + n_b
     delta = mean_b - state.mean
@@ -76,8 +74,81 @@ def welford_update_batch(state: WelfordState, zs: jax.Array) -> WelfordState:
     return WelfordState(mean, m2, total)
 
 
+def welford_update_batch(state: WelfordState, zs: jax.Array) -> WelfordState:
+    """Fold a whole (chains, D) batch in — the cross-chain reduction."""
+    n_b = zs.shape[0]
+    mean_b = jnp.mean(zs, axis=0)
+    m2_b = jnp.sum((zs - mean_b) ** 2, axis=0)
+    return welford_update_moments(state, mean_b, m2_b, n_b)
+
+
 def welford_variance(state: WelfordState) -> jax.Array:
     return state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+
+
+def _cross_chain_stats(zs, accept, mesh, axis_name, block: int = 8):
+    """Deterministic cross-chain reductions for one warmup step:
+    ``(mean_b, m2_b, accept_mean)`` over the chain axis of ``zs``
+    (chains, D) / ``accept`` (chains,).
+
+    All float summation happens in fixed-size units independent of the
+    device count (size-``block`` chain groups locally, then a replicated
+    fixed-size sum of the gathered group partials), so the adapted
+    (eps, mass) trajectory — and therefore every downstream sample — is
+    BITWISE identical between the vmap path (``mesh=None``) and any
+    chain-sharded mesh layout with D ≤ chains/block. The mesh variant
+    states the communication explicitly: ONE ``shard_map`` whose only
+    collectives are all_gathers of O(chains/block) group partials —
+    never the (chains, D) positions (HLO-asserted in
+    ``tests/parallel/test_sharded_mcmc.py``)."""
+    n_chains = accept.shape[0]
+
+    def blocked(zs_loc, acc_loc, gather):
+        c_loc = acc_loc.shape[0]
+        b = min(block, c_loc)
+        while c_loc % b:
+            b -= 1
+        nb = c_loc // b
+        z_sums = gather(jnp.sum(
+            zs_loc.reshape(nb, b, -1), axis=1
+        ))                                       # (nb_global, D)
+        a_sums = gather(jnp.sum(
+            acc_loc.reshape(nb, b), axis=1
+        ))                                       # (nb_global,)
+        mean_b = jnp.sum(z_sums, axis=0) / n_chains
+        accept_mean = jnp.sum(a_sums) / n_chains
+        sq = (zs_loc - mean_b[None, :]) ** 2
+        sq_sums = gather(jnp.sum(sq.reshape(nb, b, -1), axis=1))
+        m2_b = jnp.sum(sq_sums, axis=0)
+        return mean_b, m2_b, accept_mean
+
+    if mesh is None:
+        # Same graph structure as the mesh path (a trivial 1-device
+        # shard_map): XLA's fusion around a shard_map boundary differs
+        # from plain ops at the ulp level, and NUTS amplifies an ulp of
+        # eps into visibly different chains — one code path keeps the
+        # vmap and every mesh layout bitwise identical.
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        mesh = _Mesh(_np.asarray(jax.devices()[:1]), (axis_name,))
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(zs_loc, acc_loc):
+        def gather(x):
+            return lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+        mean_b, m2_b, accept_mean = blocked(zs_loc, acc_loc, gather)
+        return mean_b[None], m2_b[None], accept_mean[None]
+
+    mean_b, m2_b, accept_mean = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(zs, accept)
+    return mean_b[0], m2_b[0], accept_mean[0]
 
 
 def warmup_chains(
@@ -88,11 +159,18 @@ def warmup_chains(
     max_depth: int = 8,
     target_accept: float = 0.8,
     eps0: float = 0.1,
+    mesh=None,
+    axis_name: str = "chains",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Adapt (eps, diag inv mass) across chains. ``z0s``: (chains, D).
     Returns ``(z_warm, eps, inv_mass)``. Mass estimation uses the second
     half of warmup; eps adapts every step from the cross-chain mean accept
-    probability."""
+    probability.
+
+    With ``mesh``, the cross-chain reductions run through the explicit
+    deterministic collective path (:func:`_cross_chain_stats`) — bitwise
+    identical to the ``mesh=None`` vmap path for any chain-sharded
+    layout."""
     n_chains, d = z0s.shape
 
     def one_step(zs, eps, inv_mass, step_key):
@@ -104,16 +182,19 @@ def warmup_chains(
                 logdensity_fn, z, k, eps, inv_mass, max_depth
             )
         )(zs, keys)
-        return z_new, jnp.mean(infos.accept_prob)
+        return z_new, infos.accept_prob
 
     def body(carry, inp):
         i, step_key = inp
         zs, da, wf, inv_mass = carry
         eps = jnp.exp(da.log_eps)
-        z_new, accept = one_step(zs, eps, inv_mass, step_key)
+        z_new, accept_probs = one_step(zs, eps, inv_mass, step_key)
+        mean_b, m2_b, accept = _cross_chain_stats(
+            z_new, accept_probs, mesh, axis_name
+        )
         da = da_update(da, accept, target_accept)
         in_second_half = i >= num_warmup // 2
-        wf_new = welford_update_batch(wf, z_new)
+        wf_new = welford_update_moments(wf, mean_b, m2_b, n_chains)
         wf = jax.tree_util.tree_map(
             lambda a, b: jnp.where(in_second_half, a, b), wf_new, wf
         )
@@ -249,7 +330,8 @@ def run_nuts(
         return tr.get_score() + fldj
 
     z_warm, eps, inv_mass = warmup_chains(
-        logdensity, z0s, k_warm, num_warmup, max_depth, target_accept
+        logdensity, z0s, k_warm, num_warmup, max_depth, target_accept,
+        mesh=mesh, axis_name=axis_name,
     )
 
     def sample_one_chain(z0, chain_key):
