@@ -295,11 +295,26 @@ def resample_indices_rows(key: jax.Array, log_weights: jax.Array,
     merge sort) instead of R per-row ``fold_in``+``split`` chains.
     (End-to-end neutral inside SMC² — XLA overlaps the per-row key
     math — but the single-key dataflow is simpler and this is the
-    natural primitive for row-ensemble methods.)"""
+    natural primitive for row-ensemble methods.)
+
+    ``"systematic"`` (VERDICT r2 item 6 / ADVICE r2): one uniform per
+    ROW offsets the shared grid ``(j + u0_r)/n`` — stratified's grid
+    with a common offset — inverted against the row CDF by the same
+    batched merge sort, so it costs the same as stratified (the blocked
+    whole-row expansion of ``ops/resample.py`` doesn't apply to
+    1024-lane rows; at n=1024 the bitonic sort is already
+    VPU-saturated, see ``_sorted_searchsorted``). Lower offspring
+    variance than multinomial at identical throughput class — the SMC²
+    inner-filter default."""
     r, _k = log_weights.shape
     norm = jax.nn.softmax(log_weights, axis=1)
     cum = jnp.cumsum(norm, axis=1)
-    if method == "stratified":
+    if method == "systematic":
+        us = (
+            jax.random.uniform(key, (r, 1))
+            + jnp.arange(n)[None, :]
+        ) / n
+    elif method == "stratified":
         us = (
             jax.random.uniform(key, (r, n))
             + jnp.arange(n)[None, :]

@@ -14,8 +14,9 @@ the algorithm never loses the pseudo-marginal guarantee.
 
 TPU-native shape: everything is one ``lax.scan`` over time. The state
 ensemble is a (N_θ, N_x) lane grid — propagate/weight are elementwise
-over 65k+ lanes, inner resampling is a per-θ-row multinomial (sorted
-uniforms, no binary search), and the O(t)-cost PMMH re-run is a masked
+over 65k+ lanes, inner resampling is a per-θ-row systematic scheme
+(one grid offset per row inverted by a batched merge sort — no binary
+search, no scatter), and the O(t)-cost PMMH re-run is a masked
 fixed-length scan behind ``lax.cond`` so the common no-rejuvenation
 step pays nothing. CAVEAT: do NOT ``jax.vmap`` whole SMC² runs —
 under vmap the ``lax.cond`` lowers to both-branches-execute, so every
@@ -70,8 +71,15 @@ def smc2(
     n_x: int,
     proposal: Callable | float = 0.1,
     ess_threshold: float = 0.5,
+    inner_resampling: str = "systematic",
 ):
-    """Build ``run(key, ys) -> SMC2Result``."""
+    """Build ``run(key, ys) -> SMC2Result``.
+
+    ``inner_resampling``: ancestor scheme of the per-θ inner filters
+    (``"systematic"`` default — one grid offset per row, strictly lower
+    offspring variance than ``"multinomial"`` at the same batched-sort
+    cost; VERDICT r2 item 6). The θ-resample stays multinomial (a single
+    K-sized draw, not on the hot path)."""
     if not callable(proposal):
         proposal = gaussian_walk_proposal(proposal)
 
@@ -90,7 +98,12 @@ def smc2(
             k_t = jax.random.fold_in(ks, t)
             k_res, k_prop = jax.random.split(k_t)
             live = t <= t_mask
-            anc = resample_indices(k_res, lw, n_x, method="multinomial")
+            # Row primitive on a single row: same sorted-merge dataflow
+            # as the main loop's batched resample (vmap-friendly — no
+            # per-row scatter under the PMMH θ-vmap).
+            anc = resample_indices_rows(
+                k_res, lw[None], n_x, method=inner_resampling
+            )[0]
             xs_r = jtu.tree_map(lambda v: v[anc], xs)
             xs_new = propagate(k_prop, theta, xs_r)
             lw_new = loglik(theta, xs_new, y)
@@ -195,7 +208,7 @@ def smc2(
             # overlaps the key math — kept for the simpler single-key
             # dataflow; the isolated key-chain cost is ~2.7 ms/step.)
             anc = resample_indices_rows(
-                k_resx, lw_x, n_x, method="multinomial"
+                k_resx, lw_x, n_x, method=inner_resampling
             )
             prop_keys = jax.random.split(k_prop, n_theta)
 
