@@ -474,3 +474,126 @@ def test_reparam_in_scan_with_threaded_keys_exact():
         jax.random.key(0), (Dual(0.5, 1.0), Dual(keys, keys))
     )
     assert float(d.tangent) == pytest.approx(3.0, abs=1e-5)
+
+
+class TestNestedVmap:
+    """Nested vmap over lifted reparam/enum sites (VERDICT r2 item 4a):
+    the SMC-particles-around-vectorized-guide pattern. Round 2 raised
+    NotImplementedError here; now the batch rule re-lifts."""
+
+    def test_nested_vmap_reparam_unbiased(self):
+        @expectation
+        def loss(mus):
+            xs = jax.vmap(jax.vmap(lambda m: normal_reparam(m, 1.0)))(
+                mus
+            )
+            return jnp.sum(xs**2)
+
+        mus = jnp.array([[0.5, -1.0, 2.0], [1.5, 0.0, -0.5]])
+        keys = jax.random.split(KEY, 4000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (mus,))[0])(keys)
+        # d/dmu_ij E[x_ij^2] = 2 mu_ij; estimates must VARY across keys.
+        np.testing.assert_allclose(
+            np.asarray(gs.mean(0)), 2.0 * np.asarray(mus), atol=0.15
+        )
+        assert float(gs.std()) > 0.01
+
+    def test_nested_vmap_flip_enum_separable_exact(self):
+        @expectation
+        def loss(ps):
+            bs = jax.vmap(jax.vmap(flip_enum))(ps)
+            w = jnp.array([[3.0, 1.0], [2.0, 5.0]])
+            return jnp.sum(jnp.where(bs, w, -w))
+
+        ps = jnp.array([[0.3, 0.6], [0.8, 0.2]])
+        grad = loss.grad_estimate(jax.random.key(1), (ps,))[0]
+        want = 2.0 * np.array([[3.0, 1.0], [2.0, 5.0]])
+        np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-4)
+
+    def test_nested_vmap_reparam_broadcast_inner(self):
+        # Outer axis batched, inner arg unbatched (broadcast lanes).
+        @expectation
+        def loss(mu):
+            def inner(m):
+                return jnp.sum(
+                    jax.vmap(lambda s: normal_reparam(m, s))(
+                        jnp.ones(3)
+                    )
+                )
+
+            return jnp.sum(jax.vmap(inner)(mu * jnp.ones(2)))
+
+        keys = jax.random.split(KEY, 2000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (0.7,))[0])(keys)
+        # d/dmu E[sum of 6 N(mu,1) draws] = 6.
+        np.testing.assert_allclose(float(gs.mean()), 6.0, atol=0.01)
+
+    def test_nested_lanes_independent(self):
+        # All lanes share mu=0: draws must be independent across BOTH
+        # axes (a frozen/nested-aliased lift would correlate them).
+        @expectation
+        def loss(mu):
+            xs = jax.vmap(jax.vmap(lambda m: normal_reparam(m, 1.0)))(
+                mu * jnp.ones((4, 4))
+            )
+            return jnp.sum(xs) ** 2
+
+        keys = jax.random.split(KEY, 3000)
+        vals = jax.vmap(lambda k: loss.estimate(k, (0.0,)))(keys)
+        # Var(sum of 16 iid N(0,1)) = 16; perfectly correlated would
+        # give 256.
+        assert abs(float(vals.mean()) - 16.0) < 2.0
+
+
+class TestScanFreshKeys:
+    """Round-2 hole 4b: a reparameterized site inside lax.scan with the
+    default constant key drew the SAME eps every step and estimate.
+    _rekey_call now threads fresh interpreter keys per iteration."""
+
+    def test_scan_site_fresh_eps_per_step_and_estimate(self):
+        @expectation
+        def loss(mu):
+            def body(c, _):
+                x = normal_reparam(mu, 1.0)
+                return c + x, None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=3)
+            return out**2
+
+        keys = jax.random.split(KEY, 3000)
+        vals = jax.vmap(lambda k: loss.estimate(k, (0.0,)))(keys)
+        # E[(eps1+eps2+eps3)^2] = 3 with fresh eps; 9 if the three
+        # steps alias one eps; zero variance if frozen across
+        # estimates.
+        assert abs(float(vals.mean()) - 3.0) < 0.3
+        assert float(vals.std()) > 0.5
+
+    def test_scan_site_gradient_unbiased(self):
+        @expectation
+        def loss(mu):
+            def body(c, _):
+                x = normal_reparam(mu, 1.0)
+                return c + x, None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=3)
+            return out**2
+
+        keys = jax.random.split(KEY, 3000)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(keys)
+        # d/dmu E[(3mu + S)^2] = 18 mu = 9 at mu=0.5.
+        assert abs(float(gs.mean()) - 9.0) < 0.5
+        assert float(gs.std()) > 0.5
+
+    def test_scan_over_explicit_keys_still_works(self):
+        # User-threaded keys keep working (pathwise through the scan).
+        @expectation
+        def loss(mu):
+            def body(x, key_i):
+                return normal_reparam(x, 0.3), None
+
+            x_T, _ = jax.lax.scan(body, mu, jnp.arange(5))
+            return x_T
+
+        keys = jax.random.split(KEY, 500)
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.0,))[0])(keys)
+        assert abs(float(gs.mean()) - 1.0) < 0.05

