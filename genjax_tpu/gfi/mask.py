@@ -41,13 +41,32 @@ class Mask(Pytree, Generic[T]):
     # -- constructors -----------------------------------------------------
 
     @staticmethod
+    def _align(f1: Flag, f2: Flag) -> tuple[Flag, Flag]:
+        """Leading-dim (lane-first) alignment of two flags: the
+        lower-rank flag gains trailing singleton axes, so a per-lane
+        flag combines with a deeper (lane, batch, …)-shaped one (numpy
+        broadcasting alone aligns TRAILING dims, which is wrong for
+        lane-leading flag layouts)."""
+        if isinstance(f1, bool) or isinstance(f2, bool):
+            return f1, f2
+        n1, n2 = jnp.ndim(f1), jnp.ndim(f2)
+        if n1 < n2:
+            f1 = jnp.reshape(jnp.asarray(f1),
+                             jnp.shape(f1) + (1,) * (n2 - n1))
+        elif n2 < n1:
+            f2 = jnp.reshape(jnp.asarray(f2),
+                             jnp.shape(f2) + (1,) * (n1 - n2))
+        return f1, f2
+
+    @staticmethod
     def build(v: "T | Mask[T]", f: Flag = True) -> "Mask[T]":
         """Build a mask, AND-combining with an existing mask's flag.
 
         Parity: reference ``functional_types.py:144-169``.
         """
         if isinstance(v, Mask):
-            return Mask(v.value, FlagOp.and_(v.flag, f))
+            f1, f2 = Mask._align(v.flag, f)
+            return Mask(v.value, FlagOp.and_(f1, f2))
         return Mask(v, f)
 
     @staticmethod

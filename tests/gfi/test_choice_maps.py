@@ -390,3 +390,47 @@ def test_invalid_subset_accepts_vmap_constraints():
     # an actual typo is still caught
     bad = C[:].set({"z": jnp.arange(4.0)})
     assert bad.invalid_subset(vm, (jnp.zeros(4),)) is not None
+
+
+class TestLanesLeadingExplicitIdx:
+    """lanes_leading through EXPLICIT-idx Indexed nodes under vmap
+    (VERDICT r2 item 7; round 2 raised NotImplementedError)."""
+
+    def test_explicit_idx_vmap_roundtrip(self):
+        import numpy as np
+        from genjax_tpu.gfi.choice_map import (
+            Choice,
+            Indexed,
+            lanes_leading,
+        )
+
+        def make(k):
+            return Indexed(
+                Choice(jax.random.normal(k, (3, 2))),
+                jnp.array([5, 7, 9]),
+            )
+
+        keys = jax.random.split(jax.random.key(1), 6)
+        batched = jax.vmap(make)(keys)
+        fixed = lanes_leading(batched, 1)
+        # Address 7 is lane 1: value shape (batch, event) after the
+        # lane axis moves in front.
+        v = fixed[7]
+        val = v.value if hasattr(v, "value") else v
+        assert np.asarray(val).shape == (6, 2)
+        want = jax.vmap(lambda k: jax.random.normal(k, (3, 2))[1])(keys)
+        np.testing.assert_array_equal(np.asarray(val), np.asarray(want))
+
+    def test_unbatched_explicit_idx_untouched(self):
+        from genjax_tpu.gfi.choice_map import (
+            Choice,
+            Indexed,
+            lanes_leading,
+        )
+
+        chm = Indexed(
+            Choice(jnp.arange(6.0).reshape(3, 2)), jnp.array([4, 5, 6])
+        )
+        # No batch axes on idx (ndim == 1 < batch_ndim+1): unchanged.
+        out = lanes_leading(chm, 1)
+        assert jnp.shape(out.idx) == (3,)
