@@ -130,6 +130,54 @@ dirichlet_implicit = adev_distribution(
 # ---------------------------------------------------------------------------
 # Loss-gradient estimators
 # ---------------------------------------------------------------------------
+#
+# All four estimators share two shells. Every loss here is the negative
+# expectation of some log-quantity of the target built from the call's
+# args; the shells own the @expectation plumbing and key discipline, the
+# individual estimators supply only the quantity:
+#
+# - _neg_logz_loss: the quantity is the log normalizing-constant
+#   estimate of an SMC algorithm over the target (ELBO = 1-particle
+#   Importance, IWELBO = K-particle). Differentiating −logẐ through
+#   ADEV gives the (IW)ELBO gradient with the guide's strategies.
+# - _wake_loss: the quantity is a score of a sample proposed from a
+#   posterior approximation (wake-sleep): PWake scores it under the
+#   model (θ update), QWake under the guide (φ update).
+
+
+def _neg_logz_loss(make_target: Callable[..., Target],
+                   make_alg: Callable[[Target], Any]) -> Callable:
+    def grad_estimate(key: jax.Array, args: tuple):
+        @expectation
+        def _loss(*target_args):
+            target = make_target(*target_args)
+            return -make_alg(target).estimate_normalizing_constant(
+                key, target
+            )
+
+        return _loss.grad_estimate(key, args)
+
+    return grad_estimate
+
+
+def _wake_loss(posterior_approx: SampleDistribution,
+               make_target: Callable[..., Target],
+               score: Callable) -> Callable:
+    """``score(key, target, sample) -> log-quantity``; the loss is its
+    negative expectation over samples from ``posterior_approx``."""
+
+    def grad_estimate(key: jax.Array, args: tuple):
+        key, k_prop, k_score = jax.random.split(key, 3)
+
+        @expectation
+        def _loss(*target_args):
+            target = make_target(*target_args)
+            _, sample = posterior_approx.random_weighted(k_prop, target)
+            return -score(k_score, target, sample)
+
+        return _loss.grad_estimate(key, args)
+
+    return grad_estimate
 
 
 def ELBO(guide: SampleDistribution,
@@ -137,18 +185,9 @@ def ELBO(guide: SampleDistribution,
     """∇ of −E_q[log p̃/q] (the negative evidence lower bound).
 
     Parity: reference ``vi.py:129-151``."""
-
-    def grad_estimate(key: jax.Array, args: tuple):
-        @expectation
-        def _loss(*args):
-            target = make_target(*args)
-            alg = Importance(target, guide)
-            w = alg.estimate_normalizing_constant(key, target)
-            return -w
-
-        return _loss.grad_estimate(key, args)
-
-    return grad_estimate
+    return _neg_logz_loss(
+        make_target, lambda target: Importance(target, guide)
+    )
 
 
 def IWELBO(proposal: SampleDistribution,
@@ -156,18 +195,9 @@ def IWELBO(proposal: SampleDistribution,
     """K-particle importance-weighted ELBO gradient.
 
     Parity: reference ``vi.py:154-177``."""
-
-    def grad_estimate(key: jax.Array, args: tuple):
-        @expectation
-        def _loss(*args):
-            target = make_target(*args)
-            alg = ImportanceK(target, proposal, N)
-            w = alg.estimate_normalizing_constant(key, target)
-            return -w
-
-        return _loss.grad_estimate(key, args)
-
-    return grad_estimate
+    return _neg_logz_loss(
+        make_target, lambda target: ImportanceK(target, proposal, N)
+    )
 
 
 def PWake(posterior_approx: SampleDistribution,
@@ -176,19 +206,11 @@ def PWake(posterior_approx: SampleDistribution,
 
     Parity: reference ``vi.py:180-204``."""
 
-    def grad_estimate(key: jax.Array, args: tuple):
-        key, k1, k2 = jax.random.split(key, 3)
+    def model_score(key, target, sample):
+        tr, _ = target.importance(key, sample)
+        return tr.get_score()
 
-        @expectation
-        def _loss(*target_args):
-            target = make_target(*target_args)
-            _, sample = posterior_approx.random_weighted(k1, target)
-            tr, _ = target.importance(k2, sample)
-            return -tr.get_score()
-
-        return _loss.grad_estimate(key, args)
-
-    return grad_estimate
+    return _wake_loss(posterior_approx, make_target, model_score)
 
 
 def QWake(proposal: SampleDistribution,
@@ -198,16 +220,7 @@ def QWake(proposal: SampleDistribution,
 
     Parity: reference ``vi.py:207-232``."""
 
-    def grad_estimate(key: jax.Array, args: tuple):
-        key, k1, k2 = jax.random.split(key, 3)
+    def guide_score(key, target, sample):
+        return proposal.estimate_logpdf(key, sample, target)
 
-        @expectation
-        def _loss(*target_args):
-            target = make_target(*target_args)
-            _, sample = posterior_approx.random_weighted(k1, target)
-            w = proposal.estimate_logpdf(k2, sample, target)
-            return -w
-
-        return _loss.grad_estimate(key, args)
-
-    return grad_estimate
+    return _wake_loss(posterior_approx, make_target, guide_score)

@@ -45,8 +45,50 @@ __all__ = [
     "Watchdog",
     "FailureEvent",
     "ElasticResult",
+    "mesh_place",
     "run_elastic",
 ]
+
+
+def mesh_place(axis_name: str = "particles",
+               min_devices: int = 1) -> Callable[[Any, list], Any]:
+    """Build a ``place(state, devs)`` for :func:`run_elastic` that
+    re-lays a SHARDED state pytree onto the current healthy device set
+    (elastic down-shift, VERDICT r2 item 10): every array leaf whose
+    leading axis divides the device count is sharded along a fresh 1-D
+    mesh over ``devs``; scalars and non-divisible leaves are
+    replicated. Works on any pytree — ``ParticleCollection``, chain
+    ensembles, ``FilterState`` — because placement is leafwise.
+
+    The re-placed state recomputes bitwise-identically on the smaller
+    mesh whenever the step follows the repo's layout-independence
+    conventions (global-step ``fold_in`` keys; deterministic
+    blocked reductions for cross-lane coupling)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def place(state: Any, devs: list) -> Any:
+        if len(devs) < min_devices:
+            raise RuntimeError(
+                f"mesh_place: only {len(devs)} healthy devices left "
+                f"(< min_devices={min_devices})"
+            )
+        mesh = Mesh(np.asarray(devs), (axis_name,))
+        sharded = NamedSharding(mesh, P(axis_name))
+        rep = NamedSharding(mesh, P())
+
+        def put(x):
+            nd = getattr(x, "ndim", None)
+            if nd is None:
+                x = jnp.asarray(x)
+                nd = x.ndim
+            if nd >= 1 and x.shape[0] % len(devs) == 0 and x.shape[0] > 0:
+                return jax.device_put(x, sharded)
+            return jax.device_put(x, rep)
+
+        return jtu.tree_map(put, state)
+
+    return place
 
 
 def all_finite(tree: Any) -> jax.Array:

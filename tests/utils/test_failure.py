@@ -178,3 +178,96 @@ class TestRunElastic:
         )
         assert res.events == []
         np.testing.assert_array_equal(res.state, xs0 * 2.0**8)
+
+
+class TestMeshPlace:
+    def test_downshift_sharded_pytree_bitwise(self, tmp_path):
+        """run_elastic with the library mesh_place: a sharded multi-leaf
+        state pytree (ensemble + log-weights + scalar logz + poison)
+        down-shifts 8 -> 4 devices mid-run and replays bitwise
+        (VERDICT r2 item 10)."""
+        from genjax_tpu.utils.failure import mesh_place
+
+        full = Mesh(np.asarray(jax.devices()), ("particles",))
+        sh = NamedSharding(full, P("particles"))
+        xs0 = jax.device_put(
+            jax.random.normal(jax.random.key(5), (64,)), sh
+        )
+        lw0 = jax.device_put(jnp.zeros(64), sh)
+        state0 = {"xs": xs0, "lw": lw0, "logz": jnp.zeros(()),
+                  "poison": jnp.ones(())}
+
+        def step(i, state):
+            eps = jax.random.normal(
+                jax.random.fold_in(KEY, i), state["xs"].shape
+            )
+            xs = 0.9 * state["xs"] + 0.1 * eps
+            lw = state["lw"] - 0.5 * xs**2
+            from jax.scipy.special import logsumexp
+
+            logz = state["logz"] + logsumexp(lw) - jnp.log(64.0)
+            xs = xs + jnp.where(
+                (i == 5) & (state["poison"] != 0.0), jnp.nan, 0.0
+            )
+            return {"xs": xs, "lw": lw, "logz": logz,
+                    "poison": state["poison"]}
+
+        half_devs = jax.devices()[:4]
+        base_place = mesh_place("particles")
+
+        def place(state, devs):
+            out = base_place(state, devs)
+            out["poison"] = jnp.zeros(())  # transient fault cleared
+            return out
+
+        res = run_elastic(
+            step, state0, 16,
+            ckpt_path=str(tmp_path / "ck.npz"),
+            chunk=4, max_retries=2,
+            devices=lambda: half_devs, place=place,
+        )
+        assert res.events[0].n_devices == 4
+        assert set(res.state["xs"].sharding.device_set) == set(half_devs)
+        # scalar leaves replicated, array leaves sharded
+        assert set(res.state["logz"].sharding.device_set) == set(half_devs)
+
+        oracle = run_elastic(
+            step, {**state0, "poison": jnp.zeros(())}, 16,
+            ckpt_path=str(tmp_path / "oracle.npz"), chunk=4,
+        )
+        for k in ("xs", "lw", "logz"):
+            np.testing.assert_array_equal(
+                np.asarray(res.state[k]), np.asarray(oracle.state[k])
+            )
+
+    def test_particle_collection_placement(self):
+        """mesh_place re-lays a real ParticleCollection pytree."""
+        from genjax_tpu.utils.failure import mesh_place
+        import genjax_tpu as g
+        from genjax_tpu.inference import ImportanceK, Target
+
+        @g.gen
+        def bb(a, b):
+            p = g.beta(a, b) @ "p"
+            v = g.flip(p) @ "v"
+            return v
+
+        target = Target(bb, (2.0, 2.0), g.C["v"].set(True))
+        col = ImportanceK(target, k_particles=64).run_smc(KEY)
+        devs = jax.devices()[:4]
+        placed = mesh_place("particles")(col, devs)
+        assert set(placed.get_log_weights().sharding.device_set) == set(
+            devs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(placed.get_log_weights()),
+            np.asarray(col.get_log_weights()),
+        )
+
+    def test_min_devices_guard(self):
+        from genjax_tpu.utils.failure import mesh_place
+
+        with pytest.raises(RuntimeError, match="min_devices"):
+            mesh_place("particles", min_devices=9)(
+                jnp.ones(8), jax.devices()
+            )
