@@ -215,14 +215,18 @@ class GenerativeFunction(Pytree, Generic[R]):
     # ``generative_function.py:700-1486``.
 
     def vmap(self, *, in_axes=0, axis_size=None, axis_name=None):
+        from genjax_tpu.core.argcheck import check_in_axes
         from genjax_tpu.lang.combinators.vmap import Vmap
 
+        check_in_axes(in_axes, "GenerativeFunction.vmap")
         return Vmap(self, in_axes=in_axes, axis_size=axis_size,
                     axis_name=axis_name)
 
     def repeat(self, *, n: int):
+        from genjax_tpu.core.argcheck import check_static_int
         from genjax_tpu.lang.combinators.repeat import repeat
 
+        check_static_int(n, "repeat(n=...)")
         return repeat(n=n)(self)
 
     def scan(self, *, n: int | None = None):
@@ -241,13 +245,17 @@ class GenerativeFunction(Pytree, Generic[R]):
         return reduce()(self)
 
     def iterate(self, *, n: int):
+        from genjax_tpu.core.argcheck import check_static_int
         from genjax_tpu.lang.combinators.scan import iterate
 
+        check_static_int(n, "iterate(n=...)")
         return iterate(n=n)(self)
 
     def iterate_final(self, *, n: int):
+        from genjax_tpu.core.argcheck import check_static_int
         from genjax_tpu.lang.combinators.scan import iterate_final
 
+        check_static_int(n, "iterate_final(n=...)")
         return iterate_final(n=n)(self)
 
     def masked_iterate(self):
@@ -266,23 +274,34 @@ class GenerativeFunction(Pytree, Generic[R]):
         return MaskCombinator(self)
 
     def or_else(self, gen_fn: "GenerativeFunction[R]"):
+        from genjax_tpu.core.argcheck import check_gen_fn
         from genjax_tpu.lang.combinators.or_else import OrElse
 
+        check_gen_fn(gen_fn, "or_else")
         return OrElse(self, gen_fn)
 
     def switch(self, *branches: "GenerativeFunction[R]"):
+        from genjax_tpu.core.argcheck import check_gen_fns
         from genjax_tpu.lang.combinators.switch import Switch
 
+        check_gen_fns((self, *branches), "switch")
         return Switch((self, *branches))
 
     def mix(self, *fns: "GenerativeFunction[R]"):
+        from genjax_tpu.core.argcheck import check_gen_fns
         from genjax_tpu.lang.combinators.mixture import mix
 
+        check_gen_fns((self, *fns), "mix")
         return mix(self, *fns)
 
     def dimap(self, *, pre=None, post=None):
+        from genjax_tpu.core.argcheck import check_callable
         from genjax_tpu.lang.combinators.dimap import Dimap
 
+        if pre is not None:
+            check_callable(pre, "dimap(pre=...)")
+        if post is not None:
+            check_callable(post, "dimap(post=...)")
         return Dimap(
             self,
             pre=pre if pre is not None else lambda *a: a,
@@ -298,6 +317,11 @@ class GenerativeFunction(Pytree, Generic[R]):
     def marginal(self, *, selection: Selection | None = None, algorithm=None):
         from genjax_tpu.inference.sp import Marginal
 
+        if selection is not None and not isinstance(selection, Selection):
+            raise TypeError(
+                "marginal(selection=...) expects a Selection, got "
+                f"{type(selection).__name__}: {selection!r}."
+            )
         sel = selection if selection is not None else Selection.all()
         return Marginal(self, Pytree.const(sel), algorithm)
 

@@ -16,6 +16,9 @@ __all__ = ["mix"]
 
 
 def mix(*fns: GenerativeFunction) -> GenerativeFunction:
+    from genjax_tpu.core.argcheck import check_gen_fns
+
+    check_gen_fns(fns, "mix")
     """Args: ``(logits, branch0_args, branch1_args, ...)``; samples a
     component ~ categorical(logits), then that branch."""
     from genjax_tpu.lang.distributions import categorical

@@ -30,6 +30,9 @@ def OrElse(if_fn: GenerativeFunction,
 
 
 def or_else(else_fn: GenerativeFunction):
+    from genjax_tpu.core.argcheck import check_gen_fn
+
+    check_gen_fn(else_fn, "or_else")
     def decorator(if_fn: GenerativeFunction):
         return OrElse(if_fn, else_fn)
 

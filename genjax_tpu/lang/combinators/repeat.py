@@ -17,6 +17,9 @@ __all__ = ["repeat"]
 
 
 def repeat(*, n: int) -> Callable:
+    from genjax_tpu.core.argcheck import check_static_int
+
+    check_static_int(n, "repeat(n=...)")
     """``gf.repeat(n=k)``: choices live under lane addresses ``0..n-1``."""
 
     def decorator(gen_fn: GenerativeFunction):

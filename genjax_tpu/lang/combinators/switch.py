@@ -264,5 +264,8 @@ class Switch(GenerativeFunction[Any]):
 
 
 def switch(*branches: GenerativeFunction) -> Switch:
+    from genjax_tpu.core.argcheck import check_gen_fns
+
+    check_gen_fns(branches, "switch")
     """Parity: reference ``switch.py:311-354``."""
     return Switch(tuple(branches))

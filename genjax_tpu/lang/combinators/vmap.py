@@ -270,6 +270,9 @@ class Vmap(GenerativeFunction[Any]):
 
 
 def vmap(*, in_axes=0, axis_size=None) -> Callable:
+    from genjax_tpu.core.argcheck import check_in_axes
+
+    check_in_axes(in_axes, "vmap")
     """Decorator: ``gf.vmap(...)`` in combinator form.
 
     Parity: reference ``vmap.py:384-420``."""
