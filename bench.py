@@ -1,4 +1,5 @@
-"""Benchmark harness: prints ONE JSON line
+"""Benchmark harness: prints one JSON line per BASELINE config —
+headline (config 4) FIRST, each of the form
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
 Headline metric (BASELINE.md config 4): bootstrap particle filter on the
@@ -22,6 +23,15 @@ Roofline accounting: the JSON carries ``achieved_bw_frac`` /
 ``achieved_flops_frac`` — achieved HBM traffic and (VPU) FLOP rates as a
 fraction of TPU v5e peaks, from the documented per-particle-step cost
 model below.
+
+Round 3 (VERDICT r2 item 3): after the headline line is emitted, the
+remaining BASELINE configs run through ``benchmarks/run_all.py``'s
+builders under per-config time guards, each printing its own JSON line —
+so the driver-captured record covers every config that fits the budget
+(priority order: HMM SMC, VI, NUTS, tempered SMC, SMC², SIR). Headline
+chunks fold 16 reps into one dispatch (~30 ms tunnel round trip against
+~0.7 s of device compute, <5 % dispatch overhead vs ~17 % at the round-2
+reps=4).
 """
 
 import json
@@ -90,9 +100,9 @@ def _update_best(throughput: float, n_chunks: int, vs_baseline: float):
 def _arm_watchdog():
     def fire():
         remaining = DEADLINE_S - (time.monotonic() - _T0)
-        if not _printed.wait(max(remaining, 1.0)):
-            _emit()
-            os._exit(0)
+        time.sleep(max(remaining, 1.0))
+        _emit()          # no-op if the headline already printed
+        os._exit(0)      # hard stop: extra configs must not overrun
 
     threading.Thread(target=fire, daemon=True).start()
 
@@ -168,14 +178,52 @@ def build_pf(n_particles: int, n_steps: int, state_dtype=jnp.float32):
     return run, n_particles * n_steps
 
 
-def _load_cpu_baseline() -> float | None:
+def _load_baselines() -> dict:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", "baseline_cpu.json")
     try:
         with open(path) as f:
-            return float(json.load(f)[METRIC])
-    except (OSError, KeyError, ValueError):
-        return None
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _load_cpu_baseline() -> float | None:
+    v = _load_baselines().get(METRIC)
+    return float(v) if v else None
+
+
+#: Config order after the headline: throughput-bound configs first (they
+#: are the strongest vs-CPU signals and compile fastest), then the
+#: latency-bound ones. Config 4 is the headline above.
+_EXTRA_CONFIGS = (3, 5, 2, 6, 7, 1)
+_EXTRA_MIN_REMAINING_S = 70.0
+
+
+def _run_extra_configs(on_tpu: bool) -> None:
+    """Run the non-headline BASELINE configs, one JSON line each, under
+    the global deadline (the watchdog hard-exits at DEADLINE_S)."""
+    if not on_tpu:
+        return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.run_all import CONFIGS
+
+    baselines = _load_baselines()
+    for c in _EXTRA_CONFIGS:
+        remaining = DEADLINE_S - _elapsed()
+        if remaining < _EXTRA_MIN_REMAINING_S:
+            print(f"# skipping config {c}: {remaining:.0f}s left",
+                  file=sys.stderr)
+            break
+        try:
+            r = CONFIGS[c](False)
+        except Exception as e:
+            print(f"# config {c} failed: {e!r}", file=sys.stderr)
+            continue
+        base = baselines.get(r["metric"])
+        if base:
+            r["vs_baseline"] = round(r["value"] / base, 3)
+        print(json.dumps(r), flush=True)
 
 
 def main():
@@ -221,7 +269,7 @@ def main():
 
     # 2. Build + compile the workload.
     n_particles = 1 << 20 if on_tpu else 1 << 16
-    reps = 4
+    reps = 16 if on_tpu else 4
     run, work = build_pf(n_particles, 32)
 
     def many(key):
@@ -276,6 +324,7 @@ def main():
         _update_best(throughput, len(times), vsb)
 
     _emit()
+    _run_extra_configs(on_tpu)
 
 
 if __name__ == "__main__":
@@ -284,4 +333,10 @@ if __name__ == "__main__":
     # the tunnel.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/genjax_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     main()

@@ -48,6 +48,7 @@ from genjax_tpu.inference.smc import (
     effective_sample_size,
     resample_indices,
     resample_indices_rows,
+    resample_indices_sorted,
 )
 
 __all__ = ["SMC2Result", "smc2"]
@@ -98,12 +99,13 @@ def smc2(
             k_t = jax.random.fold_in(ks, t)
             k_res, k_prop = jax.random.split(k_t)
             live = t <= t_mask
-            # Row primitive on a single row: same sorted-merge dataflow
-            # as the main loop's batched resample (vmap-friendly — no
-            # per-row scatter under the PMMH θ-vmap).
-            anc = resample_indices_rows(
-                k_res, lw[None], n_x, method=inner_resampling
-            )[0]
+            # Single-row sort-based draw: same inversion as the main
+            # loop's batched resample, vmap-friendly under the PMMH
+            # θ-vmap (no scatter, no extra row axis — the row-wrapper
+            # form measured 17 % slower end-to-end, round 3).
+            anc = resample_indices_sorted(
+                k_res, lw, n_x, method=inner_resampling
+            )
             xs_r = jtu.tree_map(lambda v: v[anc], xs)
             xs_new = propagate(k_prop, theta, xs_r)
             lw_new = loglik(theta, xs_new, y)

@@ -227,16 +227,20 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         # — already accumulated) get the sentinel j = B, which matches
         # no suffix (relative ends are clamped to B).
         valid = live[:, None] & (js >= winstart[:, None])
+        # Narrowest dtype holding 0..B: uint8 for the default 128-dest
+        # blocks packs (4,1) sublanes — the hot compare below is the
+        # kernel's dominant cost (633 µs of a 1.15 ms filter step at 1M,
+        # round-3 trace), so every halving of its element width counts.
+        rel_dtype = jnp.uint8 if B <= 255 else jnp.int16
         js_rel = jnp.where(
             valid, js - lo[:, None], B
-        ).astype(jnp.int16)                                # (M, B)
+        ).astype(rel_dtype)                                # (M, B)
         # Block-RELATIVE clamped ends: j < en ≡ j_rel < min(en−lo, B)
         # for j_rel < B (ends of this block's window are ≥ block_lo, and
-        # any end beyond the block clamps to B > j_rel). B = R·128 fits
-        # int16, so the hot compare below runs at double VPU width.
+        # any end beyond the block clamps to B > j_rel).
         en_rel = jnp.clip(
             en - lo[:, None], 0, B
-        ).astype(jnp.int16)                                # (M, WL)
+        ).astype(rel_dtype)                                # (M, WL)
         # Suffix-difference contraction. Ownership of dest j is "first
         # i with en_i > j" (ends are nondecreasing; empty intervals
         # share their predecessor's end so they are never first). With
@@ -244,6 +248,16 @@ def expand_by_cumulative(tree, counts_cum: jax.Array, n: int, *,
         #   Σ_i [j < en_i] · w_i  =  v_{owner}
         # telescopes EXACTLY in integer bit-pattern arithmetic — one
         # compare per candidate instead of the two-sided interval test.
+        # Round-3 negative result (measured on-chip): routing the
+        # multiply-sum onto the MXU (f32 0/1 mask × exact ≤11-bit value
+        # limbs, u32 recombination) is bitwise-equivalent but ~25 %
+        # SLOWER end-to-end — the (M, B, WL) f32 mask must materialize
+        # through HBM (~2 GB/resample) because XLA cannot fuse the
+        # compare into a dot operand, while this formulation fuses
+        # compare + select + accumulate into one VPU pass that never
+        # materializes the pair tensor. The fusion profiles at ~88 % of
+        # its VPU op floor (633 µs of a 1.15 ms step at 1M) — this IS
+        # the documented floor of the expansion.
         suf = js_rel[:, :, None] < en_rel[:, None, :]      # (M, B, WL)
         idxo = k[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         new_accs = []
