@@ -292,8 +292,21 @@ def config6_tempered(small: bool):
     target = Target(model, (sigma,), g.C["ys"].set(ys))
     P, rungs, moves = (1 << 19, 16, 2) if not small else (256, 4, 1)
     run = tempered_smc(target, P, n_temps=rungs, n_moves=moves)
-    fn = jax.jit(lambda k: run(k).log_z)
+    # Fold reps into ONE dispatch: after the round-3 wide-leaf resample
+    # fix the device time (~21 ms/run) dropped below the ~30 ms tunnel
+    # round trip, so single-dispatch timing was dispatch-bound.
+    reps = 4 if not small else 1
+
+    @jax.jit
+    def fn(k):
+        def body(c, i):
+            return c + run(jax.random.fold_in(k, i)).log_z, None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(reps))
+        return tot / reps
+
     logz, dt = _sync_time(fn, jax.random.key(1))
+    dt = dt / reps
 
     # Conjugate closed form: ys | mu ~ N(mu, sigma^2 I), mu ~ N(0, 9).
     y = np.asarray(ys, np.float64)

@@ -251,3 +251,63 @@ class TestRecursiveBlockStarts:
         import genjax_tpu.ops.resample as rs
 
         assert rs._K0_RECURSE_MIN_ROWS == 16384  # 2^21 particles
+
+
+def _random_counts(key, n):
+    """Random nonnegative counts summing to n (multinomial draw)."""
+    lw = jax.random.normal(key, (n,))
+    from genjax_tpu.inference.smc import systematic_offspring_counts
+
+    return systematic_offspring_counts(jax.random.fold_in(key, 1), lw, n)
+
+
+class TestWideEventLeaves:
+    """Wide-event leaves (>= _WIDE_EVENT_MIN trailing elements) expand
+    via ancestor row-gather (round 3); bitwise vs the repeat oracle and
+    vs the narrow contraction."""
+
+    from genjax_tpu.ops.resample import expand_by_cumulative  # noqa
+
+    def test_wide_leaf_bitwise_vs_repeat(self):
+        import numpy as np
+
+        n = 1024
+        counts = _random_counts(jax.random.key(0), n)
+        cc = jnp.cumsum(counts).astype(jnp.int32)
+        tree = {
+            "narrow": jax.random.normal(jax.random.key(1), (n,)),
+            "wide": jax.random.normal(jax.random.key(2), (n, 64)),
+            "wider": jax.random.normal(jax.random.key(3), (n, 2, 48)),
+        }
+        from genjax_tpu.ops.resample import expand_by_cumulative
+
+        got = expand_by_cumulative(tree, cc, n)
+        want = jax.tree_util.tree_map(
+            lambda v: jnp.repeat(v, counts, axis=0,
+                                 total_repeat_length=n),
+            tree,
+        )
+        for k in tree:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+            )
+
+    def test_wide_matches_forced_narrow_path(self):
+        import numpy as np
+
+        import genjax_tpu.ops.resample as R
+
+        n = 512
+        counts = _random_counts(jax.random.key(4), n)
+        cc = jnp.cumsum(counts).astype(jnp.int32)
+        v = jax.random.normal(jax.random.key(5), (n, 64))
+        from genjax_tpu.ops.resample import expand_by_cumulative
+
+        got = expand_by_cumulative(v, cc, n)
+        old = R._WIDE_EVENT_MIN
+        try:
+            R._WIDE_EVENT_MIN = 1 << 30
+            want = expand_by_cumulative(v, cc, n)
+        finally:
+            R._WIDE_EVENT_MIN = old
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
