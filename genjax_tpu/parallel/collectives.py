@@ -264,7 +264,8 @@ def _blocked_counts(key, within, seeds, bcum_excl, total_rep,
     return starts, ends
 
 
-def _ring_redistribute(axis_name, n_dev, local_n, d, starts, ends, leaves):
+def _ring_redistribute(axis_name, n_dev, local_n, d, starts, ends,
+                       leaves, init=None):
     """Stream shards' (starts, ends, state) blocks around the ring; each
     output slot takes the unique particle whose offspring run covers it.
     The run lookup is a scatter-mark + cumsum rank count (no
@@ -279,12 +280,22 @@ def _ring_redistribute(axis_name, n_dev, local_n, d, starts, ends, leaves):
     D, cutting per-device comm from O(N) (full ring) to O(N·k/D). The
     result is bitwise identical to the full D-step ring (slots are
     filled by exactly one run; stopping after coverage changes
-    nothing)."""
+    nothing).
+
+    ``init`` (optional): ``(out_leaves, filled, all_done)`` seed state
+    from the halo fast path — when ``all_done`` is already True the
+    while loop executes ZERO trips, so the typical resample moves only
+    the 2·H halo slots (see :func:`_halo_exchange`)."""
     base = d * local_n
 
-    out_leaves = [jnp.zeros((local_n,) + l.shape[1:], l.dtype)
-                  for l in leaves]
-    filled = jnp.zeros((local_n,), bool)
+    if init is None:
+        out_leaves = [jnp.zeros((local_n,) + l.shape[1:], l.dtype)
+                      for l in leaves]
+        filled = jnp.zeros((local_n,), bool)
+        done0 = jnp.asarray(False)
+    else:
+        out_leaves, filled, done0 = init
+        out_leaves = list(out_leaves)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def ring_step(carry):
@@ -320,9 +331,9 @@ def _ring_redistribute(axis_name, n_dev, local_n, d, starts, ends, leaves):
         return (step + 1, all_done, out_leaves, filled, blk_starts,
                 blk_ends, blk_leaves)
 
-    carry = (jnp.int32(0), jnp.asarray(False), out_leaves, filled,
+    carry = (jnp.int32(0), done0, out_leaves, filled,
              starts, ends, list(leaves))
-    if n_dev == 1:
+    if n_dev == 1 and init is None:
         carry = ring_step(carry)
     else:
         carry = lax.while_loop(
@@ -342,20 +353,99 @@ def _mesh_axis_size(mesh: Mesh, axis_name) -> int:
     return mesh.shape[axis_name]
 
 
+def _match_runs(base, local_n, starts_cat, ends_cat, leaves_cat):
+    """Assign output slots [base, base+local_n) from candidate offspring
+    runs [starts_cat, ends_cat) (globally sorted). Returns
+    ``(out_leaves, filled)``. Scatter-mark + cumsum rank lookup (no
+    searchsorted — TPU-hostile binary search)."""
+    m = starts_cat.shape[0]
+    rel = starts_cat - base
+    nbefore = jnp.sum((rel < 0).astype(jnp.int32))
+    pos = jnp.where((rel < 0) | (rel >= local_n), local_n, rel)
+    marks = jnp.zeros(local_n, jnp.int32).at[pos].add(1, mode="drop")
+    idx = jnp.clip(nbefore + jnp.cumsum(marks) - 1, 0, m - 1)
+    j_global = base + jnp.arange(local_n)
+    hit = (j_global >= starts_cat[idx]) & (j_global < ends_cat[idx])
+    outs = [
+        jnp.where(
+            hit.reshape((-1,) + (1,) * (x.ndim - 1)),
+            x[idx],
+            jnp.zeros((local_n,) + x.shape[1:], x.dtype),
+        )
+        for x in leaves_cat
+    ]
+    return outs, hit
+
+
+def _halo_exchange(axis_name, n_dev, H, starts, ends, leaves):
+    """Receive the left neighbor's LAST-H and the right neighbor's
+    FIRST-H (runs + state): 2·H slots of comm per device instead of
+    k·(N/D) full-block ring trips. Returns concatenated candidates in
+    global source order."""
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]   # recv from left
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]   # recv from right
+    d = lax.axis_index(axis_name)
+
+    def from_left(x):
+        y = lax.ppermute(x[-H:], axis_name, fwd)
+        # Shard 0 has no left neighbor; neutralize the wrapped slice
+        # from shard D-1 (terminal runs [n, n): match nothing).
+        return y
+
+    def from_right(x):
+        return lax.ppermute(x[:H], axis_name, bwd)
+
+    l_starts, l_ends = from_left(starts), from_left(ends)
+    r_starts, r_ends = from_right(starts), from_right(ends)
+    # Shard 0 / D-1 have no left/right neighbor; replace the wrapped
+    # slices with EMPTY runs at ∓2^30 so candidate starts stay globally
+    # nondecreasing (the rank count in _match_runs requires it) while
+    # matching nothing.
+    neutral_l = d == 0
+    neutral_r = d == n_dev - 1
+    lo, hi = jnp.int32(-(2**30)), jnp.int32(2**30)
+    l_starts = jnp.where(neutral_l, lo, l_starts)
+    l_ends = jnp.where(neutral_l, lo, l_ends)
+    r_starts = jnp.where(neutral_r, hi, r_starts)
+    r_ends = jnp.where(neutral_r, hi, r_ends)
+    l_leaves = [from_left(x) for x in leaves]
+    r_leaves = [from_right(x) for x in leaves]
+    starts_cat = jnp.concatenate([l_starts, starts, r_starts])
+    ends_cat = jnp.concatenate([l_ends, ends, r_ends])
+    leaves_cat = [
+        jnp.concatenate([a, b, c])
+        for a, b, c in zip(l_leaves, leaves, r_leaves)
+    ]
+    return starts_cat, ends_cat, leaves_cat
+
+
 def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
                        mesh: Mesh, axis_name="particles",
-                       block: int = 256):
+                       block: int = 256, halo: int | None = None):
     """The product distributed-resampling step, fused into ONE
     ``shard_map``: deterministic blocked logZ̄/ESS + systematic offspring
-    counts + ``ppermute`` ring redistribution of the particle state.
+    counts + halo-exchange redistribution of the particle state (with
+    the ``ppermute`` ring as the exact fallback for pathological
+    offspring skew).
+
+    Typical comm per device per resample: 2·``halo`` slots of
+    (runs + state) + O(n/block) block stats + a handful of scalars —
+    the drift of systematic offspring across a shard boundary is
+    O(√N), so a small halo covers balanced resamples and the ring
+    executes zero trips. ``halo`` defaults to
+    ``min(local_n, max(256, local_n // 16))``; pass 0 to force the
+    ring-only path.
 
     Returns ``(resampled_tree, logz, ess)``. Bitwise layout-independent
     (same result on a 1-, 2-, 4-, 8-… device mesh) whenever
-    ``block ≤ n/D`` for every compared layout; the full N-particle state
-    and weight vector are never materialized on one device."""
+    ``block ≤ n/D`` for every compared layout — the halo/ring choice
+    never changes values, only comm volume — and the full N-particle
+    state and weight vector are never materialized on one device."""
     n = log_weights.shape[0]
     n_dev = _mesh_axis_size(mesh, axis_name)
     local_n = n // n_dev
+    if halo is None:
+        halo = min(local_n, max(256, local_n // 16))
     flat, treedef = jtu.tree_flatten(tree)
 
     def local(key, lw, *leaves):
@@ -368,8 +458,21 @@ def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
             key, within, seeds, bcum_excl, total_rep,
             n, n_dev, d, local_n,
         )
+        init = None
+        if n_dev > 1 and halo > 0:
+            s_cat, e_cat, l_cat = _halo_exchange(
+                axis_name, n_dev, halo, starts, ends, list(leaves)
+            )
+            outs, hit = _match_runs(
+                d * local_n, local_n, s_cat, e_cat, l_cat
+            )
+            unfilled = lax.psum(
+                jnp.sum((~hit).astype(jnp.int32)), axis_name
+            )
+            init = (outs, hit, unfilled == 0)
         out = _ring_redistribute(
-            axis_name, n_dev, local_n, d, starts, ends, list(leaves)
+            axis_name, n_dev, local_n, d, starts, ends, list(leaves),
+            init=init,
         )
         return (logz[None], ess[None], *out)
 
@@ -386,11 +489,11 @@ def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
 
 def ring_systematic_resample(key: jax.Array, log_weights: jax.Array,
                              tree, mesh: Mesh, axis_name="particles",
-                             block: int = 256):
+                             block: int = 256, halo: int | None = None):
     """Deterministic distributed systematic resampling (see
     :func:`ring_resample_step`), returning just the resampled tree."""
     out, _, _ = ring_resample_step(
-        key, log_weights, tree, mesh, axis_name, block
+        key, log_weights, tree, mesh, axis_name, block, halo
     )
     return out
 

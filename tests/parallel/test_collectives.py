@@ -316,3 +316,62 @@ class TestProductShardedSMC:
             if "all-gather" in line or "all-reduce" in line:
                 assert f"f32[{N}]" not in line, line
                 assert f"s32[{N}]" not in line, line
+
+
+class TestHaloExchange:
+    """Halo fast path (round 3): typical resamples move only 2·H
+    boundary slots; the ring is the exact fallback. Value-identical to
+    the ring for every halo size and layout."""
+
+    def test_halo_sizes_bitwise_equal(self):
+        key = jax.random.key(3)
+        lw = _weights(jax.random.key(4))
+        xs = jax.random.normal(jax.random.key(5), (N,))
+        ref = None
+        for h in (None, 0, 4, 64, N):
+            tree, logz, ess = jax.jit(
+                lambda k, w, t, m=_mesh_of(8), hh=h: ring_resample_step(
+                    k, w, t, m, halo=hh
+                )
+            )(key, lw, xs)
+            cur = (np.asarray(tree), float(logz), float(ess))
+            if ref is None:
+                ref = cur
+            else:
+                np.testing.assert_array_equal(cur[0], ref[0])
+                assert cur[1] == ref[1] and cur[2] == ref[2]
+
+    def test_skewed_forces_fallback_still_exact(self):
+        key = jax.random.key(7)
+        lw = jnp.full((N,), -1e9).at[:4].set(
+            jnp.array([0.0, 0.1, 0.2, 0.3])
+        )
+        xs = jnp.arange(N, dtype=jnp.float32)
+        want = resample_tree(key, lw, xs, N, "systematic")
+        got = ring_systematic_resample(
+            key, lw, xs, _mesh_of(8), halo=8
+        )
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    def test_balanced_hlo_comm_is_halo_sized(self):
+        """With a halo, the compiled step's collective-permutes carry
+        only halo-sized operands (plus the while-loop fallback bodies,
+        which carry block-sized ones but execute zero trips)."""
+        key = jax.random.key(3)
+        lw = _weights(jax.random.key(4))
+        xs = jax.random.normal(jax.random.key(5), (N,))
+        txt = (
+            jax.jit(
+                lambda k, w, t: ring_resample_step(
+                    k, w, t, _mesh_of(8), halo=64
+                )
+            )
+            .lower(key, lw, xs)
+            .compile()
+            .as_text()
+        )
+        assert "collective-permute" in txt
+        for line in txt.splitlines():
+            if "all-gather" in line or "all-reduce" in line:
+                assert f"f32[{N}]" not in line, line
+                assert f"s32[{N}]" not in line, line
