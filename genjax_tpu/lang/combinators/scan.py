@@ -198,10 +198,23 @@ class Scan(GenerativeFunction[Any]):
                     request.subrequest.selection.extend(request.idx)
                 )
             else:
-                raise NotImplementedError(
-                    "Scan IndexRequest with changed args supports "
-                    "Update/Regenerate sub-requests only"
+                # Generic sub-request (HMC / MALA / Rejuvenate / …),
+                # round 3: two phases — re-score the whole chain under
+                # the changed args with an empty Update, then serve the
+                # index edit via the O(1) repair at now-unchanged args.
+                # Each phase is weight-antisymmetric on its own, so the
+                # composite backward is the repair's IndexRequest (a
+                # reversed edit lowers through this same path, scoring
+                # back across the reversed argdiffs).
+                k_args, k_idx = jax.random.split(key)
+                mid_tr, w_args, _rd, _bwd = self.edit(
+                    k_args, trace, Update(ChoiceMap.empty()), argdiffs
                 )
+                new_tr, w_idx, _rd2, bwd = self._edit_index_fast(
+                    k_idx, mid_tr, request, args, n
+                )
+                retdiff = Diff.unknown_change(new_tr.get_retval())
+                return new_tr, w_args + w_idx, retdiff, bwd
         if not isinstance(request, (Update, Regenerate)):
             raise NotImplementedError(
                 f"Scan does not support {type(request).__name__}"
