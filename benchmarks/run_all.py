@@ -15,6 +15,10 @@ import jax.numpy as jnp
 # TPU v5e peaks for roofline fractions (see bench.py; VERDICT r1 item 4).
 V5E_HBM_BYTES_PER_S = 819e9
 V5E_VPU_F32_FLOPS = 3.2e12
+# MXU peak for the matmul-dominated configs (8/9): v5e bf16 peak is
+# 197 TFLOP/s; XLA lowers f32 matmuls via multi-pass bf16 on the MXU at
+# roughly 1/4 of that.
+V5E_MXU_F32_FLOPS = 4.9e13
 
 
 def _roofline(r: dict, dt: float, total_bytes: float,
@@ -377,6 +381,189 @@ def config7_smc2(small: bool):
     }, dt, psteps * 40.0, psteps * 20.0)
 
 
+def config8_mxu_logreg(small: bool):
+    """MXU-bound NUTS: Bayesian logistic regression with a
+    (N=4096, D=256) design matrix across 512 chains — the "bigger
+    models (MXU likelihoods)" direction from ROADMAP's NUTS note. Every
+    leapfrog's value-and-grad is two (N, D) matmuls batched over the
+    chain axis (XLA fuses them into one (N, D) x (D, chains) MXU
+    contraction each way), so the per-while-iteration sync overhead
+    that bounds config 2 (~25 us on tiny state) amortizes into real
+    MXU work.
+
+    Unit: chain-leapfrogs/s = sampling-phase leapfrog count (summed
+    over chains and samples) / total wall (warmup of equal length
+    included in the denominator — consistent on both backends, so the
+    CPU ratio is fair). The host-CPU baseline runs the identical
+    per-chain program with a smaller ensemble and fewer samples
+    (full-size is hours on host; throughput is per-unit so the ratio
+    stays meaningful — documented in BASELINE.md)."""
+    import numpy as np
+
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, run_nuts
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    N, D = (4096, 256) if not small else (128, 16)
+    if small:
+        chains, warm, samp = 4, 10, 10
+    elif on_cpu:
+        chains, warm, samp = 64, 60, 60
+    else:
+        chains, warm, samp = 512, 150, 150
+
+    kx = jax.random.key(0)
+    X = jax.random.normal(kx, (N, D)) / jnp.sqrt(float(D))
+    beta_true = jnp.where(jnp.arange(D) < D // 8, 1.5, 0.0)
+    y = jax.random.bernoulli(
+        jax.random.key(1), jax.nn.sigmoid(X @ beta_true)
+    ).astype(jnp.float32)
+
+    @g.gen
+    def logreg(X):
+        beta = g.mv_normal_diag(jnp.zeros(D), jnp.ones(D)) @ "beta"
+        _ = g.bernoulli(X @ beta) @ "y"
+
+    target = Target(logreg, (X,), g.C["y"].set(y))
+
+    def run(k):
+        chms, infos = run_nuts(
+            target, k, n_chains=chains, num_warmup=warm,
+            num_samples=samp, max_depth=5,
+        )
+        return chms["beta"], infos.num_steps
+
+    fn = jax.jit(run)
+    (betas, num_steps), dt = _sync_time(fn, jax.random.key(2))
+    # Sanity: posterior mean must recover the active coefficients'
+    # sign pattern (a cheap correctness gate, not a statistical test).
+    post_mean = np.asarray(jnp.mean(betas, axis=(0, 1)))
+    active = post_mean[: D // 8].mean()
+    inactive = np.abs(post_mean[D // 8:]).mean()
+    leapfrogs = float(np.sum(np.asarray(num_steps)))
+    # Cost model: one chain-leapfrog = fwd logits matmul (2·N·D) +
+    # gradient matmul Xᵀr (2·N·D); warmup doubles the executed count
+    # (warm == samp) but only sampling-phase leapfrogs enter `value`.
+    total_flops = 2.0 * leapfrogs * 4.0 * N * D
+    total_bytes = leapfrogs * (N * 4.0 + D * 8.0)  # logits + beta/grad
+    r = _roofline({
+        "metric": "nuts_mxu_logreg_chain_leapfrogs_per_s",
+        "value": round(leapfrogs / dt, 1),
+        "unit": "chain-leapfrogs/s",
+        "vs_baseline": 1.0,
+        "posterior_sep": round(float(active - inactive), 3),
+    }, dt, total_bytes, total_flops)
+    r["achieved_mxu_frac"] = round(
+        total_flops / dt / V5E_MXU_F32_FLOPS, 6
+    )
+    return r
+
+
+def config9_bnn_vi(small: bool):
+    """MXU-bound ADEV VI: mean-field Gaussian posterior over the
+    weights of a (256 -> 512 -> 1) tanh network, 8192-point likelihood
+    batch. Each ELBO gradient step is pathwise (reparameterized weight
+    tensors flow through the model's matmuls), so one step costs ~3x
+    the forward pass' 2·B·DIN·DH MXU flops. This is the matmul-heavy
+    counterpart of config 5's per-entity scalar sweep.
+
+    Unit: ELBO grad-steps/s (one 1-sample pathwise gradient + Adam
+    update per step, all steps folded into one jitted scan). The CPU
+    baseline runs the identical program with fewer steps (per-step
+    work unchanged)."""
+    import numpy as np
+
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, marginal, vi
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    DIN, DH, B = (256, 512, 8192) if not small else (8, 16, 64)
+    steps = 10 if small else (20 if on_cpu else 150)
+
+    kX = jax.random.key(3)
+    X = jax.random.normal(kX, (B, DIN)) / jnp.sqrt(float(DIN))
+    W1t = 0.8 * jax.random.normal(jax.random.key(4), (DIN, DH))
+    w2t = jax.random.normal(jax.random.key(5), (DH,)) / jnp.sqrt(float(DH))
+    y = jnp.tanh(X @ W1t) @ w2t + 0.1 * jax.random.normal(
+        jax.random.key(6), (B,)
+    )
+
+    @g.gen
+    def bnn(params, X):
+        W1 = g.normal(jnp.zeros((DIN, DH)), 1.0) @ "W1"
+        w2 = g.normal(jnp.zeros(DH), 1.0) @ "w2"
+        f = jnp.tanh(X @ W1) @ w2
+        _ = g.mv_normal_diag(f, 0.5 * jnp.ones(B)) @ "y"
+
+    @marginal()
+    @g.gen
+    def guide(target):
+        params, _X = target.args
+        _ = vi.normal_reparam(
+            params["mu1"], jax.nn.softplus(params["rho1"])
+        ) @ "W1"
+        _ = vi.normal_reparam(
+            params["mu2"], jax.nn.softplus(params["rho2"])
+        ) @ "w2"
+
+    loss_grad = vi.ELBO(
+        guide, lambda p: Target(bnn, (p, X), g.C["y"].set(y))
+    )
+    params0 = {
+        "mu1": jnp.zeros((DIN, DH)),
+        "rho1": -2.0 * jnp.ones((DIN, DH)),
+        "mu2": jnp.zeros(DH),
+        "rho2": -2.0 * jnp.ones(DH),
+    }
+
+    @jax.jit
+    def fit(params, key):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(c, i):
+            p, m, v = c
+            dp = loss_grad(jax.random.fold_in(key, i), (p,))[0]
+            m = jax.tree_util.tree_map(
+                lambda a, b: 0.9 * a + 0.1 * b, m, dp
+            )
+            v = jax.tree_util.tree_map(
+                lambda a, b: 0.999 * a + 0.001 * b * b, v, dp
+            )
+            p = jax.tree_util.tree_map(
+                lambda x, mm, vv: x - 1e-2 * mm / (jnp.sqrt(vv) + 1e-8),
+                p, m, v,
+            )
+            return (p, m, v), None
+
+        (p, _, _), _ = jax.lax.scan(
+            body, (params, zeros, zeros), jnp.arange(steps)
+        )
+        return p
+
+    p, dt = _sync_time(fit, params0, jax.random.key(7))
+    # Sanity: the variational mean must have moved off the zero
+    # initialization toward the teacher weights.
+    moved = float(jnp.mean(jnp.abs(p["mu1"])))
+    # Cost model: fwd = 2·B·DIN·DH + 2·B·DH; pathwise gradient ≈ 2x fwd
+    # (two transposed matmuls) -> ~3x fwd MXU flops per grad step.
+    fwd = 2.0 * B * DIN * DH + 2.0 * B * DH
+    total_flops = 3.0 * fwd * steps
+    total_bytes = steps * 4.0 * (
+        B * DIN + 3 * (DIN * DH + DH) * 4  # X + params/grads/moments
+    )
+    r = _roofline({
+        "metric": "bnn_vi_mxu_grad_steps_per_s",
+        "value": round(steps / dt, 2),
+        "unit": "grad-steps/s",
+        "vs_baseline": 1.0,
+        "mu_moved": round(moved, 4),
+    }, dt, total_bytes, total_flops)
+    r["achieved_mxu_frac"] = round(
+        total_flops / dt / V5E_MXU_F32_FLOPS, 6
+    )
+    return r
+
+
 CONFIGS = {
     1: config1_sir,
     2: config2_nuts,
@@ -385,6 +572,8 @@ CONFIGS = {
     5: config5_vi,
     6: config6_tempered,
     7: config7_smc2,
+    8: config8_mxu_logreg,
+    9: config9_bnn_vi,
 }
 
 
@@ -424,9 +613,17 @@ def main():
         results.append(r)
         print(json.dumps(r))
     if args.save_baseline:
+        # Merge with any existing file so a --config N run refreshes
+        # one entry without dropping the others.
+        merged = {}
+        try:
+            with open(args.save_baseline) as f:
+                merged = json.load(f)
+        except OSError:
+            pass
+        merged.update({r["metric"]: r["value"] for r in results})
         with open(args.save_baseline, "w") as f:
-            json.dump({r["metric"]: r["value"] for r in results}, f,
-                      indent=1)
+            json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ import html
 import importlib
 import inspect
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,9 +82,12 @@ def _public_members(mod):
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (TypeError, ValueError):
         return ""
+    # Default values that repr with a memory address (functions, bound
+    # objects) would churn the generated pages on every run.
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def _doc(obj) -> str:

@@ -25,6 +25,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
+from jax.extend import core as jex_core
 from jax.interpreters import ad as jax_ad
 
 from genjax_tpu.core.pytree import Pytree
@@ -553,44 +554,77 @@ def _all_samples_tail_call(jaxpr) -> bool:
     return ok
 
 
-def _rekey_eval(key, closed_jaxpr, flat_args):
-    """Evaluate a (sample-containing) inner jaxpr with every ``sample_p``
-    site's bound key replaced by ``fold_in(key, site_index)`` — fresh
-    randomness per call instead of whatever (possibly constant) key the
-    trace captured. Recurses into nested scan/cond/pjit. Sound only when
-    every inner site is tail-call/pathwise (checked by the caller)."""
+def _rekey_eval(key, closed_jaxpr, flat_args, taint=None):
+    """Evaluate a (sample-containing) inner jaxpr with every
+    *iteration-invariant* ``sample_p`` key replaced by
+    ``fold_in(key, site_index)`` — fresh randomness per call instead of
+    the (possibly constant) key the trace captured. Keys that derive
+    from a scan carry or per-step ``xs`` — i.e. keys the user
+    deliberately threads for reproducibility — are RESPECTED, not
+    replaced (ADVICE r3): ``taint`` marks which invars are
+    iteration-varying, and the taint propagates through the dataflow, so
+    a ``fold_in(carried_key, i)`` chain stays on the user's bitstream
+    while a closed-over constant key is re-keyed (the round-2
+    silent-variance hole). Structural, value-independent — works the
+    same under an outer ``jit``. Recurses into nested scan/cond/pjit.
+    Sound only when every inner site is tail-call/pathwise (checked by
+    the caller)."""
     jaxpr = closed_jaxpr.jaxpr
     env = Environment()
     for var, val in zip(jaxpr.constvars, closed_jaxpr.consts):
         env[var] = val
     for var, val in zip(jaxpr.invars, flat_args):
         env[var] = val
+    tainted: set[int] = set()
+    if taint is not None:
+        for var, t in zip(jaxpr.invars, taint):
+            if t:
+                tainted.add(var.count)
+
+    def var_taint(v) -> bool:
+        return (not isinstance(v, jex_core.Literal)) and v.count in tainted
+
     site_idx = 0
     for eqn in jaxpr.eqns:
         invals = [env[v] for v in eqn.invars]
+        in_taint = [var_taint(v) for v in eqn.invars]
         subfuns, params = eqn.primitive.get_bind_params(eqn.params)
         if eqn.primitive is sample_p:
             in_tree = eqn.params["in_tree"]
             num_consts = eqn.params["num_consts"]
-            consts = invals[:num_consts]
-            prim, _old_key, *args = jtu.tree_unflatten(
-                in_tree, invals[num_consts:]
+            # Locate the key's invar inside the flattened (prim, key,
+            # *args) operand tree: unflattening the VARS mirrors the
+            # value layout exactly.
+            _, key_var, *_ = jtu.tree_unflatten(
+                in_tree, list(eqn.invars)[num_consts:]
             )
-            new_key = jax.random.fold_in(key, site_idx)
+            if var_taint(key_var):
+                # User-threaded (iteration-varying) key: keep it.
+                outs = eqn.primitive.bind(*subfuns, *invals, **params)
+            else:
+                consts = invals[:num_consts]
+                prim, _old_key, *args = jtu.tree_unflatten(
+                    in_tree, invals[num_consts:]
+                )
+                new_key = jax.random.fold_in(key, site_idx)
+                new_flat = jtu.tree_leaves((prim, new_key, *args))
+                outs = eqn.primitive.bind(
+                    *subfuns, *consts, *new_flat, **params
+                )
             site_idx += 1
-            new_flat = jtu.tree_leaves((prim, new_key, *args))
-            outs = eqn.primitive.bind(
-                *subfuns, *consts, *new_flat, **params
-            )
         elif _eqn_contains_sample(eqn):
             key, sub = jax.random.split(key)
-            outs = _rekey_call(sub, eqn, subfuns, invals, params)
+            outs = _rekey_call(sub, eqn, subfuns, invals, params,
+                               in_taint=in_taint)
         else:
             outs = eqn.primitive.bind(*subfuns, *invals, **params)
             if not eqn.primitive.multiple_results:
                 outs = [outs]
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
+        if any(in_taint):
+            for var in eqn.outvars:
+                tainted.add(var.count)
         for var, val in zip(eqn.outvars, outs):
             env[var] = val
     return [env[v] for v in jaxpr.outvars]
@@ -609,7 +643,7 @@ def _eqn_contains_sample(eqn) -> bool:
     return False
 
 
-def _rekey_call(key, eqn, subfuns, invals, params):
+def _rekey_call(key, eqn, subfuns, invals, params, in_taint=None):
     """Re-execute a call primitive whose body contains sample sites,
     threading fresh keys to them. Fixes the documented round-2 hole: a
     reparameterized site inside ``lax.scan`` with the default constant
@@ -617,19 +651,32 @@ def _rekey_call(key, eqn, subfuns, invals, params):
     gradients at that eps, but the estimator never averaged over eps —
     a silent statistical degradation; VERDICT r2 item 4b). Here the
     scan is rebuilt with a key threaded through the carry, so every
-    iteration of every estimate draws fresh randomness."""
+    iteration of every estimate draws fresh randomness — EXCEPT sites
+    whose key derives from the scan carry / per-step xs (marked via
+    ``in_taint`` → carry/xs invars of the body), which keep the user's
+    explicitly threaded bitstream (ADVICE r3). Keys closed over as
+    constants or passed as cond operands are still re-keyed; that
+    override is part of the ADEV interpretation contract."""
     prim_name = eqn.primitive.name
+    if in_taint is None:
+        in_taint = [False] * len(invals)
     if prim_name == "scan":
         body = params["jaxpr"]
         nc, nk = params["num_consts"], params["num_carry"]
         consts = invals[:nc]
         carry0 = tuple(invals[nc:nc + nk])
         xs = tuple(invals[nc + nk:])
+        # Carry and xs body-invars vary per iteration — a key flowing
+        # from them is user key discipline, not the constant-key bug.
+        body_taint = list(in_taint[:nc]) + [True] * (
+            len(invals) - nc
+        )
 
         def body_fn(c, x):
             k, carry = c
             k, sub = jax.random.split(k)
-            outs = _rekey_eval(sub, body, [*consts, *carry, *x])
+            outs = _rekey_eval(sub, body, [*consts, *carry, *x],
+                               taint=body_taint)
             return (k, tuple(outs[:nk])), tuple(outs[nk:])
 
         (_, carry_f), ys = jax.lax.scan(
@@ -641,9 +688,10 @@ def _rekey_call(key, eqn, subfuns, invals, params):
         branches = params["branches"]
         index = invals[0]
         ops = invals[1:]
+        ops_taint = list(in_taint[1:])
         fns = [
             (lambda *a, br=br, i=i: tuple(_rekey_eval(
-                jax.random.fold_in(key, i), br, list(a)
+                jax.random.fold_in(key, i), br, list(a), taint=ops_taint
             )))
             for i, br in enumerate(branches)
         ]
@@ -652,7 +700,7 @@ def _rekey_call(key, eqn, subfuns, invals, params):
                      "custom_vjp_call", "remat"):
         inner = params.get("jaxpr") or params.get("call_jaxpr")
         if inner is not None and hasattr(inner, "jaxpr"):
-            return _rekey_eval(key, inner, invals)
+            return _rekey_eval(key, inner, invals, taint=in_taint)
     # No rekeying rule: execute as-is (keys inside stay as captured).
     outs = eqn.primitive.bind(*subfuns, *invals, **params)
     return outs if isinstance(outs, (list, tuple)) else [outs]

@@ -647,8 +647,29 @@ def lanes_leading(chm: ChoiceMap, batch_ndim: int) -> ChoiceMap:
                 # constants), so the addresses are batch-invariant: keep
                 # the first batch entry. (VERDICT r2 item 7; reference
                 # dynamic-index semantics choice_map.py:1453-1531.)
+                # For a TRACER idx the invariance is structurally
+                # guaranteed (the batch axes come from vmap broadcast);
+                # a concrete idx may be hand-stacked per lane, so verify
+                # the slices really agree before collapsing instead of
+                # silently retargeting every lane to batch entry 0's
+                # addresses (ADVICE r3).
                 idx = jnp.asarray(node.idx)
                 if idx.ndim >= batch_ndim + 1:
+                    import jax.core as _jcore
+
+                    if not isinstance(node.idx, _jcore.Tracer):
+                        flat = idx.reshape(
+                            (-1,) + idx.shape[batch_ndim:]
+                        )
+                        if not bool(jnp.all(flat == flat[0])):
+                            raise ValueError(
+                                "lanes_leading: explicit Indexed "
+                                "addresses vary across the batch axis "
+                                "— per-lane-varying dynamic addresses "
+                                "are not representable by one Indexed "
+                                "node; build per-lane constraints with "
+                                "vmap instead."
+                            )
                     idx = idx[(0,) * batch_ndim]
                 return Indexed(walk(node.inner, depth + 1), idx, node.n)
             return Indexed(walk(node.inner, depth + 1), None, node.n)

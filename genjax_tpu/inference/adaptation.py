@@ -96,7 +96,11 @@ def _cross_chain_stats(zs, accept, mesh, axis_name, block: int = 8):
     fixed-size sum of the gathered group partials), so the adapted
     (eps, mass) trajectory — and therefore every downstream sample — is
     BITWISE identical between the vmap path (``mesh=None``) and any
-    chain-sharded mesh layout with D ≤ chains/block. The mesh variant
+    chain-sharded mesh layout where ``block`` divides chains/D (a
+    non-dividing block raises instead of silently shrinking — a shrunken
+    group changes the summation association per device count and NUTS
+    amplifies an ulp of eps into visibly different chains; ADVICE r3).
+    The mesh variant
     states the communication explicitly: ONE ``shard_map`` whose only
     collectives are all_gathers of O(chains/block) group partials —
     never the (chains, D) positions (HLO-asserted in
@@ -106,8 +110,13 @@ def _cross_chain_stats(zs, accept, mesh, axis_name, block: int = 8):
     def blocked(zs_loc, acc_loc, gather):
         c_loc = acc_loc.shape[0]
         b = min(block, c_loc)
-        while c_loc % b:
-            b -= 1
+        if c_loc % b:
+            raise ValueError(
+                f"cross-chain adaptation: block={block} must divide the "
+                f"per-device chain count chains/D={c_loc} (bitwise "
+                f"layout-independence contract); pass a block dividing "
+                f"chains/D for every layout you compare."
+            )
         nb = c_loc // b
         z_sums = gather(jnp.sum(
             zs_loc.reshape(nb, b, -1), axis=1

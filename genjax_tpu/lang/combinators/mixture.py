@@ -16,11 +16,11 @@ __all__ = ["mix"]
 
 
 def mix(*fns: GenerativeFunction) -> GenerativeFunction:
+    """Args: ``(logits, branch0_args, branch1_args, ...)``; samples a
+    component ~ categorical(logits), then that branch."""
     from genjax_tpu.core.argcheck import check_gen_fns
 
     check_gen_fns(fns, "mix")
-    """Args: ``(logits, branch0_args, branch1_args, ...)``; samples a
-    component ~ categorical(logits), then that branch."""
     from genjax_tpu.lang.distributions import categorical
 
     sw = Switch(tuple(fns))

@@ -185,8 +185,11 @@ def shardmap_systematic_resample(key: jax.Array, log_weights: jax.Array,
 #      associative, so it is order-independent by construction.
 #
 # Result: offspring counts, and therefore the resampled ensemble, are
-# BITWISE identical for any mesh layout with D ≤ n/B — the contract
-# `tests/parallel/test_collectives.py` pins (8- vs 4- vs 1-device mesh).
+# BITWISE identical for any mesh layout where B divides n/D — the
+# contract `tests/parallel/test_collectives.py` pins (8- vs 4- vs
+# 1-device mesh). A non-dividing B < n/D raises instead of silently
+# shrinking (ADVICE r3: a shrunken block changes the summation
+# association per layout and can flip an ESS-gated resample decision).
 # Communication per device per resample: one all_gather of 2·(n/B) f32
 # block stats + (D−1) ppermute steps of the (n/D)-slot particle block
 # (starts/ends int32 + state leaves) — the comm-volume model in
@@ -194,10 +197,25 @@ def shardmap_systematic_resample(key: jax.Array, log_weights: jax.Array,
 
 
 def _pick_block(local_n: int, block: int) -> int:
-    b = min(block, local_n)
-    while local_n % b:
-        b -= 1
-    return b
+    """Effective within-shard block size. ``block > local_n`` clamps to
+    ``local_n`` (a single block per shard — the layout-independence
+    contract explicitly requires ``block`` to divide ``n/D``, so the
+    clamped regime is outside it and legitimate for single-layout use).
+    A ``block ≤ local_n`` that does NOT divide ``local_n`` is an error:
+    silently shrinking it would change the float-summation association
+    per device count and break bitwise layout independence without any
+    signal (ADVICE r3)."""
+    if block >= local_n:
+        return local_n
+    if local_n % block:
+        raise ValueError(
+            f"blocked collectives: block={block} must divide the "
+            f"per-device particle count n/D={local_n} (bitwise "
+            f"layout-independence contract). Pass a block that divides "
+            f"n/D for every mesh layout you compare, e.g. a power of "
+            f"two dividing {local_n}."
+        )
+    return block
 
 
 def _blocked_cdf_stats(lw, axis_name, n, n_dev, d, block):
@@ -437,10 +455,12 @@ def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
     ring-only path.
 
     Returns ``(resampled_tree, logz, ess)``. Bitwise layout-independent
-    (same result on a 1-, 2-, 4-, 8-… device mesh) whenever
-    ``block ≤ n/D`` for every compared layout — the halo/ring choice
+    (same result on a 1-, 2-, 4-, 8-… device mesh) whenever ``block``
+    **divides** ``n/D`` for every compared layout — the halo/ring choice
     never changes values, only comm volume — and the full N-particle
-    state and weight vector are never materialized on one device."""
+    state and weight vector are never materialized on one device. A
+    ``block < n/D`` that does not divide ``n/D`` raises (silent block
+    shrinking would change the summation association per layout)."""
     n = log_weights.shape[0]
     n_dev = _mesh_axis_size(mesh, axis_name)
     local_n = n // n_dev

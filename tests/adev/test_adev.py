@@ -584,6 +584,59 @@ class TestScanFreshKeys:
         assert abs(float(gs.mean()) - 9.0) < 0.5
         assert float(gs.std()) > 0.5
 
+    def test_scan_carried_user_keys_respected(self):
+        """Keys the user explicitly threads through the scan CARRY are
+        respected — not replaced by interpreter-derived keys (ADVICE
+        r3): with all randomness user-keyed, estimates are bitwise
+        deterministic across interpreter keys, and the key chain stays
+        on the user's bitstream."""
+        from genjax_tpu.adev import primitives as prims
+        from genjax_tpu.adev.core import sample_primitive
+
+        k0 = jax.random.key(42)
+
+        @expectation
+        def loss(mu):
+            def body(c, _):
+                tot, k = c
+                k, sub = jax.random.split(k)
+                x = sample_primitive(
+                    prims.normal_reparam, mu, 1.0, key=sub
+                )
+                return (tot + x, k), None
+
+            (tot, _), _ = jax.lax.scan(body, (0.0, k0), None, length=3)
+            return tot**2
+
+        d1 = loss.jvp_estimate(jax.random.key(0), (Dual(0.5, 1.0),))
+        d2 = loss.jvp_estimate(jax.random.key(999), (Dual(0.5, 1.0),))
+        assert float(d1.primal) == float(d2.primal)
+        assert float(d1.tangent) == float(d2.tangent)
+        # And the values really come from the user's key chain.
+        k, tot = k0, 0.0
+        for _ in range(3):
+            k, sub = jax.random.split(k)
+            tot += 0.5 + jax.random.normal(sub)
+        assert float(d1.primal) == pytest.approx(float(tot) ** 2, rel=1e-6)
+
+    def test_scan_default_key_still_rekeyed(self):
+        """The round-2 fix is preserved: default-constant keys inside a
+        scan still get fresh interpreter keys per estimate even with
+        the taint pass active."""
+
+        @expectation
+        def loss(mu):
+            def body(c, _):
+                x = normal_reparam(mu, 1.0)
+                return c + x, None
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=2)
+            return out
+
+        d1 = loss.jvp_estimate(jax.random.key(0), (Dual(0.0, 1.0),))
+        d2 = loss.jvp_estimate(jax.random.key(1), (Dual(0.0, 1.0),))
+        assert float(d1.primal) != float(d2.primal)
+
     def test_scan_over_explicit_keys_still_works(self):
         # User-threaded keys keep working (pathwise through the scan).
         @expectation

@@ -434,3 +434,34 @@ class TestLanesLeadingExplicitIdx:
         # No batch axes on idx (ndim == 1 < batch_ndim+1): unchanged.
         out = lanes_leading(chm, 1)
         assert jnp.shape(out.idx) == (3,)
+
+    def test_varying_concrete_idx_raises(self):
+        """A hand-stacked Indexed whose addresses genuinely differ per
+        batch entry must raise, not silently retarget every lane to
+        batch entry 0's addresses (ADVICE r3)."""
+        from genjax_tpu.gfi.choice_map import (
+            Choice,
+            Indexed,
+            lanes_leading,
+        )
+
+        chm = Indexed(
+            Choice(jnp.zeros((2, 3, 2))),
+            jnp.array([[1, 2, 3], [4, 5, 6]]),
+        )
+        with pytest.raises(ValueError, match="vary across the batch"):
+            lanes_leading(chm, 1)
+
+    def test_invariant_concrete_idx_collapses(self):
+        from genjax_tpu.gfi.choice_map import (
+            Choice,
+            Indexed,
+            lanes_leading,
+        )
+
+        chm = Indexed(
+            Choice(jnp.zeros((2, 3, 2))),
+            jnp.array([[1, 2, 3], [1, 2, 3]]),
+        )
+        out = lanes_leading(chm, 1)
+        assert jnp.shape(out.idx) == (3,)

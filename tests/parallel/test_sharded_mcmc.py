@@ -62,6 +62,15 @@ class TestCrossChainStats:
             for a, b in zip(o, outs[0]):
                 np.testing.assert_array_equal(a, b)
 
+    def test_nondividing_block_raises(self):
+        """A block that does not divide chains/D must raise instead of
+        silently shrinking (ADVICE r3: a shrunken group changes the
+        summation association per layout and NUTS amplifies the ulp)."""
+        zs = jnp.zeros((12, 2))
+        acc = jnp.ones(12)
+        with pytest.raises(ValueError, match="must divide"):
+            _cross_chain_stats(zs, acc, None, "chains", block=8)
+
     def test_matches_plain_reductions(self):
         zs = jax.random.normal(jax.random.key(2), (64, 3))
         acc = jax.random.uniform(jax.random.key(3), (64,))
