@@ -16,9 +16,10 @@ import jax.numpy as jnp
 V5E_HBM_BYTES_PER_S = 819e9
 V5E_VPU_F32_FLOPS = 3.2e12
 # MXU peak for the matmul-dominated configs (8/9): v5e bf16 peak is
-# 197 TFLOP/s; XLA lowers f32 matmuls via multi-pass bf16 on the MXU at
-# roughly 1/4 of that.
-V5E_MXU_F32_FLOPS = 4.9e13
+# 197 TFLOP/s; f32 matmuls run at half that via 3-pass bf16. Calibrated
+# on the tunneled chip: 93.5 TFLOP/s measured on a
+# (8192,1024)x(1024,8192) f32 matmul (95% of the 98.5 nominal).
+V5E_MXU_F32_FLOPS = 9.85e13
 
 
 def _roofline(r: dict, dt: float, total_bytes: float,
@@ -41,12 +42,20 @@ def _force(out):
     return jax.tree_util.tree_map(np.asarray, out)
 
 
-def _sync_time(fn, *args):
+def _sync_time(fn, *args, reps: int = 1):
+    """Compile, warm past the tunnel's lazy-init slow executions, then
+    time ``reps`` runs and keep the best (the tunnel intermittently
+    stalls a single dispatch by 10-30x after heavy use — observed on the
+    round-3 config-8 capture — and best-of discards those)."""
     _force(fn(*args))  # compile + warmup
     _force(fn(*args))  # tunnel lazy-init warmup
-    t0 = time.perf_counter()
-    out = _force(fn(*args))
-    return out, time.perf_counter() - t0
+    best_dt, out = None, None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        out = _force(fn(*args))
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return out, best_dt
 
 
 def config1_sir(small: bool):
@@ -383,7 +392,7 @@ def config7_smc2(small: bool):
 
 def config8_mxu_logreg(small: bool):
     """MXU-bound NUTS: Bayesian logistic regression with a
-    (N=4096, D=256) design matrix across 512 chains — the "bigger
+    (N=8192, D=512) design matrix across 1024 chains — the "bigger
     models (MXU likelihoods)" direction from ROADMAP's NUTS note. Every
     leapfrog's value-and-grad is two (N, D) matmuls batched over the
     chain axis (XLA fuses them into one (N, D) x (D, chains) MXU
@@ -404,13 +413,13 @@ def config8_mxu_logreg(small: bool):
     from genjax_tpu.inference import Target, run_nuts
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    N, D = (4096, 256) if not small else (128, 16)
+    N, D = (8192, 512) if not small else (128, 16)
     if small:
         chains, warm, samp = 4, 10, 10
     elif on_cpu:
-        chains, warm, samp = 64, 60, 60
+        chains, warm, samp = 32, 20, 20
     else:
-        chains, warm, samp = 512, 150, 150
+        chains, warm, samp = 1024, 100, 100
 
     kx = jax.random.key(0)
     X = jax.random.normal(kx, (N, D)) / jnp.sqrt(float(D))
@@ -431,16 +440,24 @@ def config8_mxu_logreg(small: bool):
             target, k, n_chains=chains, num_warmup=warm,
             num_samples=samp, max_depth=5,
         )
-        return chms["beta"], infos.num_steps
+        # Reduce ON DEVICE: returning the raw (chains, samples, D)
+        # draws would time a ~200 MB host transfer over the tunnel
+        # (measured 7x the actual sampling wall), not the sampler.
+        return (
+            jnp.mean(chms["beta"], axis=(0, 1)),
+            jnp.sum(infos.num_steps),
+        )
 
     fn = jax.jit(run)
-    (betas, num_steps), dt = _sync_time(fn, jax.random.key(2))
+    (post_mean, num_steps), dt = _sync_time(
+        fn, jax.random.key(2), reps=1 if on_cpu else 3
+    )
     # Sanity: posterior mean must recover the active coefficients'
     # sign pattern (a cheap correctness gate, not a statistical test).
-    post_mean = np.asarray(jnp.mean(betas, axis=(0, 1)))
+    post_mean = np.asarray(post_mean)
     active = post_mean[: D // 8].mean()
     inactive = np.abs(post_mean[D // 8:]).mean()
-    leapfrogs = float(np.sum(np.asarray(num_steps)))
+    leapfrogs = float(np.asarray(num_steps))
     # Cost model: one chain-leapfrog = fwd logits matmul (2·N·D) +
     # gradient matmul Xᵀr (2·N·D); warmup doubles the executed count
     # (warm == samp) but only sampling-phase leapfrogs enter `value`.
@@ -461,7 +478,7 @@ def config8_mxu_logreg(small: bool):
 
 def config9_bnn_vi(small: bool):
     """MXU-bound ADEV VI: mean-field Gaussian posterior over the
-    weights of a (256 -> 512 -> 1) tanh network, 8192-point likelihood
+    weights of a (512 -> 1024 -> 1) tanh network, 8192-point likelihood
     batch. Each ELBO gradient step is pathwise (reparameterized weight
     tensors flow through the model's matmuls), so one step costs ~3x
     the forward pass' 2·B·DIN·DH MXU flops. This is the matmul-heavy
@@ -477,8 +494,8 @@ def config9_bnn_vi(small: bool):
     from genjax_tpu.inference import Target, marginal, vi
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    DIN, DH, B = (256, 512, 8192) if not small else (8, 16, 64)
-    steps = 10 if small else (20 if on_cpu else 150)
+    DIN, DH, B = (512, 1024, 8192) if not small else (8, 16, 64)
+    steps = 10 if small else (20 if on_cpu else 500)
 
     kX = jax.random.key(3)
     X = jax.random.normal(kX, (B, DIN)) / jnp.sqrt(float(DIN))
@@ -540,7 +557,9 @@ def config9_bnn_vi(small: bool):
         )
         return p
 
-    p, dt = _sync_time(fit, params0, jax.random.key(7))
+    p, dt = _sync_time(
+        fit, params0, jax.random.key(7), reps=1 if on_cpu else 3
+    )
     # Sanity: the variational mean must have moved off the zero
     # initialization toward the teacher weights.
     moved = float(jnp.mean(jnp.abs(p["mu1"])))
