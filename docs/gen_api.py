@@ -50,6 +50,7 @@ MODULES = [
     ("genjax_tpu.parallel.collectives", "Explicit collectives"),
     ("genjax_tpu.parallel.smc", "Sharded SMC"),
     ("genjax_tpu.parallel.pf", "Sharded particle filter"),
+    ("genjax_tpu.parallel.seq", "Sequence parallelism (time sharding)"),
     ("genjax_tpu.ops.resample", "Blocked-expansion resampling kernel"),
     ("genjax_tpu.ops.cdf_counts", "Pallas CDF→counts kernel"),
     ("genjax_tpu.utils.checkpoint", "Checkpointing"),

@@ -26,6 +26,7 @@ from genjax_tpu.parallel.collectives import (
     shardmap_systematic_resample,
 )
 from genjax_tpu.parallel.pf import sharded_particle_filter
+from genjax_tpu.parallel.seq import time_sharded_filter
 from genjax_tpu.parallel.smc import (
     sharded_importance,
     sharded_resample,
@@ -55,4 +56,5 @@ __all__ = [
     "sharded_particle_filter",
     "sharded_resample",
     "sharded_smc_step",
+    "time_sharded_filter",
 ]
