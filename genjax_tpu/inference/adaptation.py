@@ -170,6 +170,7 @@ def warmup_chains(
     eps0: float = 0.1,
     mesh=None,
     axis_name: str = "chains",
+    fixed_budget: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Adapt (eps, diag inv mass) across chains. ``z0s``: (chains, D).
     Returns ``(z_warm, eps, inv_mass)``. Mass estimation uses the second
@@ -188,7 +189,8 @@ def warmup_chains(
         )(jnp.arange(n_chains))
         z_new, infos = jax.vmap(
             lambda z, k: nuts_kernel(
-                logdensity_fn, z, k, eps, inv_mass, max_depth
+                logdensity_fn, z, k, eps, inv_mass, max_depth,
+                fixed_budget=fixed_budget,
             )
         )(zs, keys)
         return z_new, infos.accept_prob
@@ -244,6 +246,7 @@ def run_nuts(
     mesh=None,
     axis_name: str = "chains",
     transforms: "dict | str | None" = None,
+    fixed_budget: bool = False,
 ):
     """End-to-end NUTS on a :class:`Target`: initialize chains from the
     prior, warm up (cross-chain adaptation), sample. Returns
@@ -262,42 +265,27 @@ def run_nuts(
     in unconstrained space with the change-of-variables correction, and
     the returned choice maps are on the constrained (model) scale. Pass
     ``transforms="auto"`` to derive the dict from the distributions'
-    support metadata (``infer_transforms``)."""
+    support metadata (``infer_transforms``).
+
+    ``fixed_budget``: run every NUTS transition as one unrolled
+    fixed-length scan over ``2**max_depth - 1`` masked leapfrog slots
+    instead of nested while loops — same transition math with a static
+    step count, for schedules that must be shape-static. Measured slower
+    on the v5e at every scale tried (see
+    :func:`~genjax_tpu.inference.requests.nuts.nuts_kernel`); keep the
+    default unless you need the static schedule."""
     constrain = (lambda t: t) if mesh is None else (
         lambda t: _shard_chains(t, mesh, axis_name)
     )
     k_init, k_warm, k_sample = jax.random.split(key, 3)
 
     from genjax_tpu.inference.transforms import (
-        _addr_path,
-        _map_at,
         constrain_choices,
-        infer_transforms,
+        resolve_transforms,
         unconstrain_choices,
     )
 
-    if transforms == "auto":
-        probe_tr, _ = target.importance(jax.random.key(0), ChoiceMap.empty())
-        probe_latents = target.filter_to_unconstrained(
-            probe_tr.get_choices()
-        )
-
-        def _observed(addr):
-            # Exclude any address that does not survive in the latent
-            # choice map (i.e. observed sites) — tested with the same
-            # Indexed-transparent lookup constrain_choices uses.
-            _, found = _map_at(
-                probe_latents, _addr_path(addr), lambda v, gate, branch: v
-            )
-            return not found
-
-        transforms = infer_transforms(probe_tr, exclude=_observed)
-    elif isinstance(transforms, str):
-        raise ValueError(
-            f"transforms={transforms!r}: expected a dict, None, or the "
-            'string "auto".'
-        )
-    transforms = transforms or {}
+    transforms = resolve_transforms(target, transforms)
 
     init_keys = jax.vmap(
         lambda c: jax.random.fold_in(k_init, c)
@@ -340,13 +328,14 @@ def run_nuts(
 
     z_warm, eps, inv_mass = warmup_chains(
         logdensity, z0s, k_warm, num_warmup, max_depth, target_accept,
-        mesh=mesh, axis_name=axis_name,
+        mesh=mesh, axis_name=axis_name, fixed_budget=fixed_budget,
     )
 
     def sample_one_chain(z0, chain_key):
         def step(z, step_key):
             z_new, info = nuts_kernel(
-                logdensity, z, step_key, eps, inv_mass, max_depth
+                logdensity, z, step_key, eps, inv_mass, max_depth,
+                fixed_budget=fixed_budget,
             )
             return z_new, (z_new, info)
 

@@ -27,7 +27,8 @@ from genjax_tpu.gfi.mask import Mask
 
 __all__ = ["Bijector", "identity", "positive", "interval", "simplex",
            "PerBranch", "get_bijector", "constrain_choices",
-           "unconstrain_choices", "infer_transforms"]
+           "unconstrain_choices", "infer_transforms",
+           "resolve_transforms"]
 
 
 class Bijector(NamedTuple):
@@ -470,3 +471,36 @@ def infer_transforms(trace, *, exclude=None) -> dict:
 
     walk(trace, (), out)
     return {a: s for a, s in out.items() if s is not None}
+
+
+def resolve_transforms(target, transforms):
+    """Normalize a ``transforms`` argument shared by the gradient-based
+    fitters (``run_nuts``, ``run_svgd``): ``None`` -> ``{}``, a dict
+    passes through, ``"auto"`` derives the dict from the target's
+    distributions' support metadata with observed addresses excluded."""
+    if transforms == "auto":
+        import jax as _jax
+
+        from genjax_tpu.gfi.choice_map import ChoiceMap as _CM
+
+        probe_tr, _ = target.importance(_jax.random.key(0), _CM.empty())
+        probe_latents = target.filter_to_unconstrained(
+            probe_tr.get_choices()
+        )
+
+        def _observed(addr):
+            # Exclude any address that does not survive in the latent
+            # choice map (i.e. observed sites) — tested with the same
+            # Indexed-transparent lookup constrain_choices uses.
+            _, found = _map_at(
+                probe_latents, _addr_path(addr), lambda v, gate, branch: v
+            )
+            return not found
+
+        return infer_transforms(probe_tr, exclude=_observed)
+    if isinstance(transforms, str):
+        raise ValueError(
+            f"transforms={transforms!r}: expected a dict, None, or the "
+            'string "auto".'
+        )
+    return transforms or {}

@@ -509,3 +509,102 @@ class TestExplicitIndexConstraints:
         lane1 = chms["xs", 1]
         assert not bool(np.any(np.asarray(lane1.flag)))
         assert np.isfinite(np.asarray(chms["mu"])).all()
+
+
+class TestFixedBudgetKernel:
+    """The fixed-budget (single unrolled scan) strategy shares the
+    subtree-step and doubling-merge math with the while-loop strategy and
+    consumes keys only on active slots — so transitions are bitwise equal
+    whenever XLA cannot re-associate the density's float reductions
+    (guaranteed here: D=2, every reduction has <= 2 elements, the
+    quadratic form is an explicitly associated scalar chain). For general
+    densities the two strategies may differ at the ulp level (different
+    loop structures fuse reductions differently — the same effect
+    ``adaptation._cross_chain_stats`` guards against), which NUTS
+    amplifies; equivalence there is distributional, tested at the
+    ``run_nuts`` level on posterior moments. ``nuts.py:_run_fixed``."""
+
+    def _logp(self, z):
+        # Explicit scalar chain — no >2-element reductions anywhere
+        # (the kernel's own dots/sums are over D=2, association-unique).
+        a = z[0]
+        b = z[1]
+        return -(a * a) + -(0.75 * b * b) + 0.3 * a * b
+
+    def test_transition_bitwise_vs_dynamic(self):
+        for seed in range(4):
+            # eps sweep covers shallow trees, deep trees, and divergences.
+            for eps in (0.1, 0.5, 2.5):
+                key = jax.random.fold_in(KEY, seed)
+                z0 = jax.random.normal(jax.random.fold_in(key, 1), (2,))
+                zd, infod = jax.jit(
+                    lambda z, k, e=eps: nuts_kernel(
+                        self._logp, z, k, e, max_depth=5
+                    )
+                )(z0, key)
+                zf, infof = jax.jit(
+                    lambda z, k, e=eps: nuts_kernel(
+                        self._logp, z, k, e, max_depth=5,
+                        fixed_budget=True, unroll=4,
+                    )
+                )(z0, key)
+                assert np.array_equal(np.asarray(zd), np.asarray(zf))
+                for a, b in zip(infod, infof):
+                    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_vmapped_transition_bitwise(self):
+        zs = jax.random.normal(jax.random.fold_in(KEY, 7), (16, 2))
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            KEY, jnp.arange(16)
+        )
+        zd, infod = jax.jit(jax.vmap(
+            lambda z, k: nuts_kernel(self._logp, z, k, 0.4, max_depth=6)
+        ))(zs, keys)
+        zf, infof = jax.jit(jax.vmap(
+            lambda z, k: nuts_kernel(
+                self._logp, z, k, 0.4, max_depth=6, fixed_budget=True
+            )
+        ))(zs, keys)
+        assert np.array_equal(np.asarray(zd), np.asarray(zf))
+        assert np.array_equal(
+            np.asarray(infod.num_steps), np.asarray(infof.num_steps)
+        )
+
+    def test_run_nuts_posterior_agreement_vs_dynamic(self):
+        # Whole pipeline (init, warmup dual-averaging + mass adaptation,
+        # sampling). On a general model the density's reductions can be
+        # fused differently under the two loop structures (ulp-level
+        # association differences NUTS then amplifies), so equivalence is
+        # distributional: both strategies must recover the same posterior
+        # moments.
+        xs = jnp.linspace(-1.0, 1.0, 12)
+        ys = 1.5 * xs + 0.3
+
+        @g.gen
+        def reg(xs):
+            slope = g.normal(0.0, 2.0) @ "slope"
+            icept = g.normal(0.0, 2.0) @ "icept"
+            _ = g.mv_normal_diag(
+                slope * xs + icept, 0.3 * jnp.ones_like(xs)
+            ) @ "ys"
+
+        target = Target(reg, (xs,), g.C["ys"].set(ys))
+
+        def run(fixed):
+            return run_nuts(
+                target, KEY, n_chains=8, num_warmup=100, num_samples=200,
+                max_depth=4, fixed_budget=fixed,
+            )
+
+        chms_d, infos_d = jax.jit(lambda: run(False))()
+        chms_f, infos_f = jax.jit(lambda: run(True))()
+        for addr in ("slope", "icept"):
+            sd = np.asarray(chms_d[addr])
+            sf = np.asarray(chms_f[addr])
+            assert abs(sd.mean() - sf.mean()) < 0.05
+            assert abs(sd.std() - sf.std()) < 0.05
+        # Identical tree-size distribution in aggregate (same algorithm).
+        assert abs(
+            float(np.mean(np.asarray(infos_d.num_steps)))
+            - float(np.mean(np.asarray(infos_f.num_steps)))
+        ) < 1.5
