@@ -53,9 +53,12 @@ MODULES = [
     ("genjax_tpu.parallel.seq", "Sequence parallelism (time sharding)"),
     ("genjax_tpu.ops.resample", "Blocked-expansion resampling kernel"),
     ("genjax_tpu.ops.cdf_counts", "Pallas CDF→counts kernel"),
+    ("genjax_tpu.ops.mxu", "bf16 MXU contraction (f32 accumulation)"),
     ("genjax_tpu.utils.checkpoint", "Checkpointing"),
     ("genjax_tpu.utils.failure", "Failure detection / elastic recovery"),
     ("genjax_tpu.utils.diagnostics_doc", None),  # placeholder, skipped
+    ("genjax_tpu.inference.svgd", "Stein variational gradient descent"),
+    ("genjax_tpu.inference.requests.ess", "Elliptical slice sampling"),
     ("genjax_tpu.inference.diagnostics", "Convergence diagnostics"),
     ("genjax_tpu.compat", "Reference-migration shims"),
 ]

@@ -14,6 +14,7 @@ from genjax_tpu.inference.exact_testbed import (
     build_test_against_exact_inference,
 )
 from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
+from genjax_tpu.inference.svgd import run_svgd, svgd_step
 from genjax_tpu.inference.diagnostics import ess_autocorr, split_rhat, summarize
 from genjax_tpu.inference.data_smc import DataSMCResult, data_annealed_smc
 from genjax_tpu.inference.mcmc import chain, mh, multi_chain
@@ -23,10 +24,12 @@ from genjax_tpu.inference.pf import (
     particle_filter,
 )
 from genjax_tpu.inference.requests import (
+    EllipticalSlice,
     HMC,
     MALA,
     Rejuvenate,
     SafeHMC,
+    elliptical_slice_kernel,
     selection_gradient,
 )
 from genjax_tpu.inference.requests.nuts import NUTS, nuts_kernel
@@ -81,8 +84,10 @@ __all__ = [
     "Algorithm",
     "ChangeTarget",
     "DiscreteHMMInferenceProblem",
+    "EllipticalSlice",
     "HMC",
     "MALA",
+    "elliptical_slice_kernel",
     "MAPResult",
     "ParallelTemperingResult",
     "PMMHResult",
@@ -117,6 +122,8 @@ __all__ = [
     "ess_autocorr",
     "nuts_kernel",
     "run_nuts",
+    "run_svgd",
+    "svgd_step",
     "split_rhat",
     "summarize",
     "warmup_chains",

@@ -1,0 +1,143 @@
+"""Stein variational gradient descent over Target posteriors.
+
+SVGD (Liu & Wang 2016) transports an N-particle ensemble along the
+kernelized Stein discrepancy's steepest-descent direction:
+
+    phi(x_i) = (1/N) sum_j [ k(x_j, x_i) grad log p(x_j)
+                             + grad_{x_j} k(x_j, x_i) ]
+
+TPU-first formulation: with an RBF kernel both terms are dense (N, N)
+contractions — ``K @ grads`` and ``(sum_j K_ij) x_i - K @ X`` ride the
+MXU, and the pairwise squared distances come from one Gram matrix. No
+per-particle loops, no dynamic shapes; the whole fit is one
+``lax.scan`` of fused matmul steps, and the particle axis shards over a
+mesh like any other ensemble axis.
+
+The bandwidth uses the standard median heuristic, computed inside jit
+each step (a fixed-size O(N^2) reduction — TPU-cheap) so annealing the
+ensemble never goes stale.
+
+New scope relative to the reference (no SVGD there; the variational
+layer is ADEV/ELBO — ``/root/reference/src/genjax/_src/inference/vi.py``).
+Like :func:`~genjax_tpu.inference.adaptation.run_nuts`, latents are
+raveled to one position vector per particle and support ``transforms``
+map constrained sites to unconstrained space with the Jacobian folded
+into the target density.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from genjax_tpu.gfi.choice_map import ChoiceMap, lanes_leading, partition_values
+from genjax_tpu.inference.sp import Target
+
+__all__ = ["svgd_step", "run_svgd"]
+
+
+def _rbf_phi(xs: jax.Array, grads: jax.Array) -> jax.Array:
+    """SVGD update direction for an RBF kernel, fully matrix-form.
+
+    ``xs``: (N, D) particles; ``grads``: (N, D) score gradients.
+    Returns (N, D) phi."""
+    n = xs.shape[0]
+    # Pairwise squared distances via the Gram matrix (one MXU matmul).
+    sq_norms = jnp.sum(xs * xs, axis=1)
+    d2 = sq_norms[:, None] - 2.0 * xs @ xs.T + sq_norms[None, :]
+    d2 = jnp.maximum(d2, 0.0)
+    # Median heuristic: h = med^2 / log(N + 1).
+    med2 = jnp.median(d2)
+    h = jnp.maximum(med2 / jnp.log(n + 1.0), 1e-6)
+    k = jnp.exp(-d2 / h)                                   # (N, N)
+    # grad_{x_j} k(x_j, x_i) = (2/h) k_ji (x_i - x_j); summed over j:
+    # (2/h) [ (sum_j k_ji) x_i - K^T @ X ].  K is symmetric.
+    k_sums = jnp.sum(k, axis=0)                            # (N,)
+    repulse = (2.0 / h) * (k_sums[:, None] * xs - k @ xs)
+    return (k @ grads + repulse) / n
+
+
+def svgd_step(logdensity_fn: Callable[[jax.Array], jax.Array],
+              xs: jax.Array, step_size: float) -> jax.Array:
+    """One SVGD update of an (N, D) ensemble toward ``logdensity_fn``."""
+    grads = jax.vmap(jax.grad(logdensity_fn))(xs)
+    return xs + step_size * _rbf_phi(xs, grads)
+
+
+def run_svgd(
+    target: Target,
+    key: jax.Array,
+    n_particles: int = 256,
+    n_steps: int = 500,
+    step_size: float = 0.05,
+    transforms: "dict | str | None" = None,
+):
+    """Fit an SVGD ensemble to a :class:`Target`'s posterior.
+
+    Particles initialize from the prior (via ``target.importance`` with
+    no extra constraints). Returns a choice map whose latent leaves have
+    a leading ``(n_particles,)`` axis — the fitted ensemble — mirroring
+    ``run_nuts``'s return convention with (chains, samples) collapsed to
+    one particle axis.
+
+    ``transforms`` follows :func:`run_nuts`: a dict of per-address
+    support bijectors or ``"auto"`` — SVGD then moves particles in
+    unconstrained space with the log-Jacobian folded into the density,
+    and the returned choices are on the constrained scale."""
+    from jax.flatten_util import ravel_pytree
+
+    from genjax_tpu.inference.transforms import (
+        constrain_choices,
+        resolve_transforms,
+        unconstrain_choices,
+    )
+
+    transforms = resolve_transforms(target, transforms)
+
+    k_init, _ = jax.random.split(key)
+    init_keys = jax.vmap(
+        lambda c: jax.random.fold_in(k_init, c)
+    )(jnp.arange(n_particles))
+    trs, _ = jax.vmap(
+        lambda k: target.importance(k, ChoiceMap.empty())
+    )(init_keys)
+    latents0 = jax.vmap(
+        lambda tr: unconstrain_choices(
+            target.filter_to_unconstrained(tr.get_choices()), transforms
+        )
+    )(trs)
+
+    # Structural leaves (Switch idx, Mask flags) are deterministic given
+    # the target's args — close over particle 0's (run_nuts convention).
+    vals0, rebuild = partition_values(
+        jax.tree_util.tree_map(lambda v: v[0], latents0)
+    )
+    _, unravel_vals = ravel_pytree(vals0)
+
+    def unravel(z_vec):
+        return rebuild(unravel_vals(z_vec))
+
+    xs0 = jax.vmap(
+        lambda i: ravel_pytree(partition_values(
+            jax.tree_util.tree_map(lambda v: v[i], latents0)
+        )[0])[0]
+    )(jnp.arange(n_particles))
+
+    def logdensity(z_vec):
+        chm_x, fldj = constrain_choices(unravel(z_vec), transforms)
+        tr, _ = target.importance(jax.random.key(0), chm_x)
+        return tr.get_score() + fldj
+
+    def body(xs, _):
+        return svgd_step(logdensity, xs, step_size), None
+
+    xs, _ = lax.scan(body, xs0, None, length=n_steps)
+
+    def to_constrained(z):
+        chm_x, _ = constrain_choices(unravel(z), transforms)
+        return chm_x
+
+    return lanes_leading(jax.vmap(to_constrained)(xs), 1)

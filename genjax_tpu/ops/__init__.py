@@ -5,5 +5,6 @@ from genjax_tpu.ops.logmatmul import (
     log_matmul_jnp,
     log_matmul_pallas,
 )
+from genjax_tpu.ops.mxu import mxu_dot
 
-__all__ = ["log_matmul", "log_matmul_jnp", "log_matmul_pallas"]
+__all__ = ["log_matmul", "log_matmul_jnp", "log_matmul_pallas", "mxu_dot"]
