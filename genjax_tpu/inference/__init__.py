@@ -14,6 +14,7 @@ from genjax_tpu.inference.exact_testbed import (
     build_test_against_exact_inference,
 )
 from genjax_tpu.inference.adaptation import run_nuts, warmup_chains
+from genjax_tpu.inference.predictive import posterior_predictive
 from genjax_tpu.inference.svgd import run_svgd, svgd_step
 from genjax_tpu.inference.diagnostics import ess_autocorr, split_rhat, summarize
 from genjax_tpu.inference.data_smc import DataSMCResult, data_annealed_smc
@@ -121,6 +122,7 @@ __all__ = [
     "build_test_against_exact_inference",
     "ess_autocorr",
     "nuts_kernel",
+    "posterior_predictive",
     "run_nuts",
     "run_svgd",
     "svgd_step",

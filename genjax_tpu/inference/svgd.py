@@ -83,6 +83,11 @@ def run_svgd(
     ``run_nuts``'s return convention with (chains, samples) collapsed to
     one particle axis.
 
+    Updates are AdaGrad-normalized (the SVGD paper's scheme), so
+    ``step_size`` is in posterior-scale-free units — the default works
+    from diffuse to sharp targets without tuning. Use :func:`svgd_step`
+    directly for raw un-normalized steps.
+
     ``transforms`` follows :func:`run_nuts`: a dict of per-address
     support bijectors or ``"auto"`` — SVGD then moves particles in
     unconstrained space with the log-Jacobian folded into the density,
@@ -131,10 +136,21 @@ def run_svgd(
         tr, _ = target.importance(jax.random.key(0), chm_x)
         return tr.get_score() + fldj
 
-    def body(xs, _):
-        return svgd_step(logdensity, xs, step_size), None
+    # AdaGrad-scaled updates (Liu & Wang 2016, §4): phi magnitudes track
+    # the posterior precision, so a raw step size either crawls on flat
+    # targets or explodes on sharp ones; the running second-moment
+    # normalizer makes one default work across both.
+    def body(carry, _):
+        xs, acc = carry
+        grads = jax.vmap(jax.grad(logdensity))(xs)
+        phi = _rbf_phi(xs, grads)
+        acc = 0.9 * acc + 0.1 * phi * phi
+        xs = xs + step_size * phi / (1e-6 + jnp.sqrt(acc))
+        return (xs, acc), None
 
-    xs, _ = lax.scan(body, xs0, None, length=n_steps)
+    (xs, _), _ = lax.scan(
+        body, (xs0, jnp.zeros_like(xs0)), None, length=n_steps
+    )
 
     def to_constrained(z):
         chm_x, _ = constrain_choices(unravel(z), transforms)
