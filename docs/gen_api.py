@@ -51,6 +51,7 @@ MODULES = [
     ("genjax_tpu.parallel.smc", "Sharded SMC"),
     ("genjax_tpu.parallel.pf", "Sharded particle filter"),
     ("genjax_tpu.parallel.seq", "Sequence parallelism (time sharding)"),
+    ("genjax_tpu.parallel.svgd", "Mesh-sharded SVGD"),
     ("genjax_tpu.ops.resample", "Blocked-expansion resampling kernel"),
     ("genjax_tpu.ops.cdf_counts", "Pallas CDF→counts kernel"),
     ("genjax_tpu.ops.mxu", "bf16 MXU contraction (f32 accumulation)"),

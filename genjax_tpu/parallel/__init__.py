@@ -32,6 +32,7 @@ from genjax_tpu.parallel.smc import (
     sharded_resample,
     sharded_smc_step,
 )
+from genjax_tpu.parallel.svgd import run_sharded_svgd, sharded_svgd_step
 
 __all__ = [
     "Mesh",
@@ -52,9 +53,11 @@ __all__ = [
     "particle_mesh",
     "replicated",
     "shard_leading_axis",
+    "run_sharded_svgd",
     "sharded_importance",
     "sharded_particle_filter",
     "sharded_resample",
     "sharded_smc_step",
+    "sharded_svgd_step",
     "time_sharded_filter",
 ]
