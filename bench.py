@@ -194,10 +194,11 @@ def _load_cpu_baseline() -> float | None:
 
 
 #: Config order after the headline: throughput-bound configs first (they
-#: are the strongest vs-CPU signals and compile fastest), then the new
-#: MXU-bound pair (8: logreg NUTS, 9: BNN VI — longer compiles, highest
-#: utilization), then the latency-bound ones. Config 4 is the headline.
-_EXTRA_CONFIGS = (3, 5, 8, 9, 2, 6, 7, 1)
+#: are the strongest vs-CPU signals and compile fastest), then the
+#: MXU-bound trio (8: logreg NUTS, 9: BNN VI, 10: SVGD — longer
+#: compiles, highest utilization), then the latency-bound ones. Config 4
+#: is the headline.
+_EXTRA_CONFIGS = (3, 5, 8, 9, 10, 2, 6, 7, 1)
 _EXTRA_MIN_REMAINING_S = 70.0
 
 

@@ -583,6 +583,77 @@ def config9_bnn_vi(small: bool):
     return r
 
 
+def config10_svgd(small: bool):
+    """SVGD ensemble fit on a Bayesian linear regression with an exact
+    conjugate posterior — the Stein family's official number. Every
+    update is dense MXU work: the (N, N) kernel from one Gram matmul,
+    two (N, N) x (N, D) contractions, and the per-particle score
+    gradients as one batched (B, D) x (D, N) pass. Bandwidth from a
+    256-row subsample (the full N^2 median sort would dominate).
+
+    Unit: particle-grad-steps/s = n_particles * steps / wall. The CPU
+    baseline runs the identical program with fewer steps (per-step work
+    unchanged). Correctness gate: ensemble mean within tolerance of the
+    closed-form conjugate posterior mean."""
+    import numpy as np
+
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, run_svgd
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    B, D = (1024, 64) if not small else (32, 4)
+    if small:
+        parts, steps = 32, 10
+    elif on_cpu:
+        parts, steps = 4096, 20
+    else:
+        parts, steps = 4096, 300
+
+    kx = jax.random.key(10)
+    X = jax.random.normal(kx, (B, D)) / jnp.sqrt(float(D))
+    w_true = jnp.linspace(-1.0, 1.0, D)
+    y = X @ w_true + 0.25 * jax.random.normal(
+        jax.random.key(11), (B,)
+    )
+
+    @g.gen
+    def blr(X):
+        w = g.mv_normal_diag(jnp.zeros(D), jnp.ones(D)) @ "w"
+        _ = g.mv_normal_diag(X @ w, 0.25 * jnp.ones(B)) @ "y"
+
+    target = Target(blr, (X,), g.C["y"].set(y))
+
+    def run(k):
+        ens = run_svgd(target, k, n_particles=parts, n_steps=steps,
+                       step_size=0.05, h_rows=256)
+        return jnp.mean(ens["w"], axis=0)
+
+    fn = jax.jit(run)
+    post_mean, dt = _sync_time(
+        fn, jax.random.key(12), reps=1 if on_cpu else 3
+    )
+    prec = jnp.eye(D) + X.T @ X / 0.0625
+    exact = jnp.linalg.solve(prec, X.T @ y / 0.0625)
+    err = float(jnp.max(jnp.abs(post_mean - exact)))
+    # Cost model per step: score grads 2*(2*B*D*N) + Gram 2*N^2*D +
+    # two kernel contractions 2*(2*N^2*D).
+    n = parts
+    per_step = 4.0 * B * D * n + 6.0 * n * n * D
+    total_flops = per_step * steps
+    total_bytes = steps * 4.0 * (B * D + 4 * n * D)
+    r = _roofline({
+        "metric": "svgd_blr_particle_grad_steps_per_s",
+        "value": round(n * steps / dt, 1),
+        "unit": "particle-grad-steps/s",
+        "vs_baseline": 1.0,
+        "post_mean_err": round(err, 4),
+    }, dt, total_bytes, total_flops)
+    r["achieved_mxu_frac"] = round(
+        total_flops / dt / V5E_MXU_F32_FLOPS, 6
+    )
+    return r
+
+
 CONFIGS = {
     1: config1_sir,
     2: config2_nuts,
@@ -593,6 +664,7 @@ CONFIGS = {
     7: config7_smc2,
     8: config8_mxu_logreg,
     9: config9_bnn_vi,
+    10: config10_svgd,
 }
 
 

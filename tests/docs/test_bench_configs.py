@@ -32,3 +32,15 @@ def test_config9_bnn_vi_small():
     assert r["value"] > 0
     # The variational mean moved off the zero init toward the teacher.
     assert r["mu_moved"] > 0.01
+
+
+def test_config10_svgd_small():
+    from benchmarks.run_all import config10_svgd
+
+    r = config10_svgd(True)
+    assert r["metric"] == "svgd_blr_particle_grad_steps_per_s"
+    assert r["value"] > 0
+    # 10 small-ensemble steps only roughly approach the posterior; the
+    # tight gate lives in the full-size run (post_mean_err ~ 1e-2).
+    assert r["post_mean_err"] < 1.0
+    assert "achieved_mxu_frac" in r
