@@ -692,8 +692,11 @@ def main():
         try:
             with open(args.baseline) as f:
                 baseline = json.load(f)
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            # Missing OR corrupt (e.g. truncated by an interrupted
+            # --save-baseline) file: run without ratios rather than
+            # crash after the benchmarks complete (r4 review).
+            baseline = {}
     targets = [args.config] if args.config else sorted(CONFIGS)
     results = []
     for c in targets:
@@ -710,8 +713,11 @@ def main():
         try:
             with open(args.save_baseline) as f:
                 merged = json.load(f)
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            # A corrupt existing file is overwritten with the fresh
+            # results instead of raising AFTER the (potentially long)
+            # benchmark run and discarding them (r4 review).
+            merged = {}
         merged.update({r["metric"]: r["value"] for r in results})
         with open(args.save_baseline, "w") as f:
             json.dump(merged, f, indent=1)

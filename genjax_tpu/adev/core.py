@@ -654,9 +654,12 @@ def _rekey_call(key, eqn, subfuns, invals, params, in_taint=None):
     iteration of every estimate draws fresh randomness — EXCEPT sites
     whose key derives from the scan carry / per-step xs (marked via
     ``in_taint`` → carry/xs invars of the body), which keep the user's
-    explicitly threaded bitstream (ADVICE r3). Keys closed over as
-    constants or passed as cond operands are still re-keyed; that
-    override is part of the ADEV interpretation contract."""
+    explicitly threaded bitstream (ADVICE r3). Taint PROPAGATES through
+    nested control flow: a carry-derived key passed onward as a cond
+    operand stays respected inside the branches (``ops_taint`` below),
+    while keys closed over as constants — including cond operands that
+    are themselves constants — are re-keyed; that override is part of
+    the ADEV interpretation contract."""
     prim_name = eqn.primitive.name
     if in_taint is None:
         in_taint = [False] * len(invals)

@@ -92,30 +92,32 @@ def _cross_chain_stats(zs, accept, mesh, axis_name, block: int = 8):
     (chains, D) / ``accept`` (chains,).
 
     All float summation happens in fixed-size units independent of the
-    device count (size-``block`` chain groups locally, then a replicated
-    fixed-size sum of the gathered group partials), so the adapted
-    (eps, mass) trajectory — and therefore every downstream sample — is
-    BITWISE identical between the vmap path (``mesh=None``) and any
-    chain-sharded mesh layout where ``block`` divides chains/D (a
-    non-dividing block raises instead of silently shrinking — a shrunken
-    group changes the summation association per device count and NUTS
-    amplifies an ulp of eps into visibly different chains; ADVICE r3).
-    The mesh variant
+    device count: the chain-group size is derived from the GLOBAL chain
+    count alone (:func:`~genjax_tpu.parallel.collectives._layout_free_block`
+    with cap ``block``), so the adapted (eps, mass) trajectory — and
+    therefore every downstream sample — is BITWISE identical between the
+    vmap path (``mesh=None``) and any power-of-two chain-sharded mesh up
+    to 64 devices, for ANY chain count (NUTS amplifies an ulp of eps
+    into visibly different chains, so nothing here may depend on
+    chains/D; ADVICE r3 + r4 review). A mesh whose axis size the derived
+    group cannot divide raises. The mesh variant
     states the communication explicitly: ONE ``shard_map`` whose only
-    collectives are all_gathers of O(chains/block) group partials —
+    collectives are all_gathers of O(chains/group) group partials —
     never the (chains, D) positions (HLO-asserted in
     ``tests/parallel/test_sharded_mcmc.py``)."""
+    from genjax_tpu.parallel.collectives import _layout_free_block
+
     n_chains = accept.shape[0]
+    b = _layout_free_block(n_chains, block)
 
     def blocked(zs_loc, acc_loc, gather):
         c_loc = acc_loc.shape[0]
-        b = min(block, c_loc)
         if c_loc % b:
             raise ValueError(
-                f"cross-chain adaptation: block={block} must divide the "
-                f"per-device chain count chains/D={c_loc} (bitwise "
-                f"layout-independence contract); pass a block dividing "
-                f"chains/D for every layout you compare."
+                f"cross-chain adaptation: the layout-independent chain "
+                f"group {b} (derived from n_chains={n_chains}) does not "
+                f"divide the per-device chain count chains/D={c_loc}. "
+                f"Use a power-of-two mesh axis (up to 64 devices)."
             )
         nb = c_loc // b
         z_sums = gather(jnp.sum(

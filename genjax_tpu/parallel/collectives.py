@@ -185,37 +185,64 @@ def shardmap_systematic_resample(key: jax.Array, log_weights: jax.Array,
 #      associative, so it is order-independent by construction.
 #
 # Result: offspring counts, and therefore the resampled ensemble, are
-# BITWISE identical for any mesh layout where B divides n/D — the
-# contract `tests/parallel/test_collectives.py` pins (8- vs 4- vs
-# 1-device mesh). A non-dividing B < n/D raises instead of silently
-# shrinking (ADVICE r3: a shrunken block changes the summation
-# association per layout and can flip an ESS-gated resample decision).
+# BITWISE identical across mesh layouts — the contract
+# `tests/parallel/test_collectives.py` pins (8- vs 4- vs 1-device
+# mesh). The effective B is derived from the GLOBAL n and the cap
+# alone (never from n/D), so the float-summation association cannot
+# depend on the device count; any power-of-two mesh up to 64 devices
+# divides compatibly by construction, and an incompatible layout
+# (non-power-of-two factors the derived B does not divide) raises
+# instead of silently re-associating (ADVICE r3: a layout-dependent
+# block can flip an ESS-gated resample decision).
 # Communication per device per resample: one all_gather of 2·(n/B) f32
 # block stats + (D−1) ppermute steps of the (n/D)-slot particle block
 # (starts/ends int32 + state leaves) — the comm-volume model in
 # BASELINE.md. New scope vs the reference (no distributed backend there).
 
 
-def _pick_block(local_n: int, block: int) -> int:
-    """Effective within-shard block size. ``block > local_n`` clamps to
-    ``local_n`` (a single block per shard — the layout-independence
-    contract explicitly requires ``block`` to divide ``n/D``, so the
-    clamped regime is outside it and legitimate for single-layout use).
-    A ``block ≤ local_n`` that does NOT divide ``local_n`` is an error:
-    silently shrinking it would change the float-summation association
-    per device count and break bitwise layout independence without any
-    signal (ADVICE r3)."""
-    if block >= local_n:
-        return local_n
-    if local_n % block:
+def _layout_free_block(n: int, cap: int, reserve_pow2: int = 6) -> int:
+    """Effective summation block size derived from the GLOBAL size ``n``
+    and the cap ONLY — never from ``n/D`` — so the float-summation
+    association is identical in every mesh layout by construction
+    (ADVICE r3: anything derived from the per-device count changes the
+    association with the device count and silently breaks bitwise
+    layout independence).
+
+    The result is the largest divisor of ``n`` that is ≤ ``cap`` and
+    whose power-of-two part leaves ``reserve_pow2`` device powers free:
+    ``v2(b) ≤ max(0, v2(n) − reserve_pow2)``. It therefore divides
+    ``n / 2**k`` for every ``k ≤ min(v2(n), reserve_pow2)`` — any
+    power-of-two mesh up to ``2**reserve_pow2`` (64) devices divides
+    compatibly, while the block stays as close to the cap as ``n``'s
+    factorization allows (it never collapses to per-element partials
+    for the tuned power-of-two ensemble sizes)."""
+    v = (n & -n).bit_length() - 1  # 2-adic valuation of n
+    max_v_b = max(0, v - reserve_pow2)
+    for cand in range(min(cap, n), 0, -1):
+        if n % cand:
+            continue
+        v_c = (cand & -cand).bit_length() - 1
+        if v_c <= max_v_b:
+            return cand
+    return 1
+
+
+def _pick_block(n: int, local_n: int, cap: int) -> int:
+    """Resolve the within-shard block size: layout-free derivation from
+    the global ``n`` plus a divisibility check against this layout's
+    ``local_n`` (fails only for mesh factors the derivation cannot
+    serve, e.g. a non-power-of-two axis size the odd part of ``n`` does
+    not absorb)."""
+    b = _layout_free_block(n, cap)
+    if local_n % b:
         raise ValueError(
-            f"blocked collectives: block={block} must divide the "
-            f"per-device particle count n/D={local_n} (bitwise "
-            f"layout-independence contract). Pass a block that divides "
-            f"n/D for every mesh layout you compare, e.g. a power of "
-            f"two dividing {local_n}."
+            f"blocked collectives: the layout-independent block "
+            f"{b} (derived from n={n}, cap={cap}) does not divide the "
+            f"per-device count n/D={local_n}. Use a power-of-two mesh "
+            f"axis (up to 64 devices), or a particle count whose "
+            f"factors match the mesh."
         )
-    return block
+    return b
 
 
 def _blocked_cdf_stats(lw, axis_name, n, n_dev, d, block):
@@ -227,7 +254,7 @@ def _blocked_cdf_stats(lw, axis_name, n, n_dev, d, block):
     ``total_rep`` the repaired CDF total (for count scaling), ``sum_sq``
     Σexp² (for ESS) and ``m`` the global max log-weight."""
     local_n = lw.shape[0]
-    b = _pick_block(local_n, block)
+    b = _pick_block(n, local_n, block)
     nb_local = local_n // b
     m = lax.pmax(jnp.max(lw), axis_name)
     e = jnp.exp(lw - m)
@@ -455,12 +482,15 @@ def ring_resample_step(key: jax.Array, log_weights: jax.Array, tree,
     ring-only path.
 
     Returns ``(resampled_tree, logz, ess)``. Bitwise layout-independent
-    (same result on a 1-, 2-, 4-, 8-… device mesh) whenever ``block``
-    **divides** ``n/D`` for every compared layout — the halo/ring choice
-    never changes values, only comm volume — and the full N-particle
-    state and weight vector are never materialized on one device. A
-    ``block < n/D`` that does not divide ``n/D`` raises (silent block
-    shrinking would change the summation association per layout)."""
+    (same result on a 1-, 2-, 4-, 8-… device mesh) unconditionally for
+    power-of-two meshes up to 64 devices: the effective summation
+    block is derived from the GLOBAL ``n`` and the ``block`` cap only
+    (:func:`_layout_free_block`), never from ``n/D`` — the halo/ring
+    choice never changes values, only comm volume — and the full
+    N-particle state and weight vector are never materialized on one
+    device. A mesh whose axis size the derived block cannot divide
+    (non-power-of-two factors) raises instead of silently
+    re-associating."""
     n = log_weights.shape[0]
     n_dev = _mesh_axis_size(mesh, axis_name)
     local_n = n // n_dev

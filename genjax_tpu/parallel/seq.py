@@ -32,11 +32,14 @@ trick as ``parallel/collectives.py``):
 
 Because every float reduction happens in fixed-size units whose
 boundaries depend only on (T, block) — never on the device count — the
-result is BITWISE identical across 1/2/4/8-… device meshes whenever
-``block`` divides T/D for every compared layout (a non-dividing block
-raises, mirroring the collectives contract). With ``D=1, block=T`` the
-computation degenerates to the sequential recursion and is bitwise equal
-to ``forward_filter``.
+result is BITWISE identical across 1/2/4/8-… device meshes. The default
+``block=None`` derives the block from T alone
+(``collectives._layout_free_block``), valid for every power-of-two mesh;
+an explicit ``block`` is honored strictly — it must divide T/D for the
+layout in use (non-dividing OR oversize blocks raise; clamping would
+silently make the association device-count-dependent — r4 review).
+With ``D=1, block=T`` the computation degenerates to the sequential
+recursion and is bitwise equal to ``forward_filter``.
 
 Cost model (the standard parallel-in-time tradeoff, same as
 ``forward_filter_parallel``): the block-summary pass costs S× the
@@ -57,20 +60,31 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = ["time_sharded_filter", "time_sharded_backward_sample"]
 
 
-def _check_block(T: int, n_dev: int, block: int) -> int:
+def _check_block(T: int, n_dev: int, block: int | None) -> int:
     local_T = T // n_dev
     if T % n_dev:
         raise ValueError(
             f"time_sharded_filter: sequence length T={T} must be a "
             f"multiple of the mesh axis size D={n_dev}."
         )
-    if block >= local_T:
-        return local_T
+    if block is None:
+        # Layout-free default: derived from T and the cap only, so the
+        # block boundaries — and the float associations they fix — are
+        # identical under every power-of-two layout (the collectives
+        # contract; an explicit block is honored strictly instead).
+        from genjax_tpu.parallel.collectives import _layout_free_block
+
+        block = _layout_free_block(T, 256)
     if local_T % block:
+        # Includes block > T/D: clamping would silently make the
+        # effective block (hence the summation association) a function
+        # of the device count — exactly the hazard this module's
+        # bitwise contract exists to rule out (r4 review).
         raise ValueError(
             f"time_sharded_filter: block={block} must divide the "
             f"per-device step count T/D={local_T} (bitwise "
-            f"layout-independence contract; see parallel/collectives)."
+            f"layout-independence contract; see parallel/collectives). "
+            f"Pass block=None to derive a layout-free block from T."
         )
     return block
 
@@ -87,7 +101,7 @@ def time_sharded_filter(
     observations: jax.Array,
     mesh: Mesh,
     axis_name: str = "time",
-    block: int = 256,
+    block: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward filtering with the TIME axis sharded over ``mesh``.
 
@@ -97,9 +111,10 @@ def time_sharded_filter(
     log-marginal (replicated). ``config`` is a
     :class:`~genjax_tpu.lang.distributions.discrete_hmm.DiscreteHMMConfiguration`.
 
-    Bitwise layout-independent across mesh sizes whenever ``block``
-    divides T/D for every compared layout; bitwise equal to the
-    sequential ``forward_filter`` at ``D=1, block>=T``."""
+    Bitwise layout-independent across mesh sizes (default
+    ``block=None`` derives a layout-free block from T; an explicit
+    block must divide T/D); bitwise equal to the sequential
+    ``forward_filter`` at ``D=1, block=T``."""
     T = observations.shape[0]
     S = config.num_states
     n_dev = mesh.shape[axis_name]
@@ -210,7 +225,7 @@ def time_sharded_backward_sample(
     alphas: jax.Array,
     mesh: Mesh,
     axis_name: str = "time",
-    block: int = 256,
+    block: int | None = None,
 ) -> jax.Array:
     """Exact posterior path sampling with the TIME axis sharded: the
     backward half of FFBS at mesh scale (sequential reference:

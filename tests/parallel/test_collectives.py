@@ -375,3 +375,46 @@ class TestHaloExchange:
             if "all-gather" in line or "all-reduce" in line:
                 assert f"f32[{N}]" not in line, line
                 assert f"s32[{N}]" not in line, line
+
+
+class TestLayoutFreeBlock:
+    """r4 review: the effective block derives from the GLOBAL n and cap
+    only — awkward particle counts must work identically per layout
+    instead of hard-failing (the r3 strict check) or silently
+    re-associating (the pre-r3 shrink)."""
+
+    def test_awkward_n_bitwise_across_layouts(self):
+        from genjax_tpu.parallel.collectives import blocked_stats
+        from jax.sharding import Mesh
+
+        n = 3000  # n/D = 375 on 8 devices; old code raised (block=256)
+        lw = jax.random.normal(jax.random.key(30), (n,)) * 2.0
+        outs = []
+        for d in (1, 2, 4, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:d]), ("particles",))
+            logz, ess = jax.jit(
+                lambda w, m=mesh: blocked_stats(w, m)
+            )(lw)
+            outs.append((float(logz), float(ess)))
+        assert outs.count(outs[0]) == len(outs)
+        # And the values agree with plain reductions.
+        ref_logz = float(
+            jax.scipy.special.logsumexp(lw) - jnp.log(n)
+        )
+        np.testing.assert_allclose(outs[0][0], ref_logz, rtol=1e-5)
+
+    def test_derivation_is_global_only(self):
+        from genjax_tpu.parallel.collectives import _layout_free_block
+
+        # Divides n/D for every power-of-two D up to 256.
+        for n in (3000, 1 << 20, 4096, 12, 100):
+            b = _layout_free_block(n, 256)
+            v = (n & -n).bit_length() - 1
+            for k in range(0, min(v, 6) + 1):
+                assert (n >> k) % b == 0, (n, k, b)
+
+    def test_headline_block_unchanged(self):
+        from genjax_tpu.parallel.collectives import _layout_free_block
+
+        # The 2^20-particle product path keeps its tuned 256 block.
+        assert _layout_free_block(1 << 20, 256) == 256

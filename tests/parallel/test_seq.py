@@ -191,3 +191,27 @@ class TestTimeShardedBackwardSample:
             (zs == s).mean(axis=0) for s in range(S)
         ], axis=1)                                   # (T, S)
         np.testing.assert_allclose(emp, exact, atol=0.035)
+
+
+class TestDefaultBlockLayoutFree:
+    def test_default_block_bitwise_all_layouts(self, problem):
+        """block=None derives the block from T alone (r4 review: the old
+        clamp made the effective block device-count-dependent)."""
+        config, obs = problem
+        outs = []
+        for d in (1, 2, 4, 8):
+            alphas, lz = jax.jit(
+                lambda o, m=_mesh_of(d): time_sharded_filter(
+                    config, o, m
+                )
+            )(obs)
+            outs.append((np.asarray(alphas), float(lz)))
+        for a, z in outs[1:]:
+            np.testing.assert_array_equal(a, outs[0][0])
+            assert z == outs[0][1]
+
+    def test_oversize_block_raises(self, problem):
+        """block > T/D raises instead of clamping (r4 review)."""
+        config, obs = problem
+        with pytest.raises(ValueError, match="must divide"):
+            time_sharded_filter(config, obs, _mesh_of(8), block=64)

@@ -62,14 +62,44 @@ class TestCrossChainStats:
             for a, b in zip(o, outs[0]):
                 np.testing.assert_array_equal(a, b)
 
-    def test_nondividing_block_raises(self):
-        """A block that does not divide chains/D must raise instead of
-        silently shrinking (ADVICE r3: a shrunken group changes the
-        summation association per layout and NUTS amplifies the ulp)."""
-        zs = jnp.zeros((12, 2))
-        acc = jnp.ones(12)
-        with pytest.raises(ValueError, match="must divide"):
-            _cross_chain_stats(zs, acc, None, "chains", block=8)
+    def test_awkward_chain_counts_work_layout_free(self):
+        """The group size derives from the GLOBAL chain count only
+        (ADVICE r3 + r4 review): counts that are not multiples of the
+        cap (12, 20, 100) must WORK — matching plain reductions — not
+        hard-fail, and the derived group must be identical per layout."""
+        for n in (12, 20, 100):
+            zs = jax.random.normal(jax.random.key(n), (n, 2))
+            acc = jax.random.uniform(jax.random.fold_in(
+                jax.random.key(n), 1), (n,))
+            mean_b, m2_b, a_mean = _cross_chain_stats(
+                zs, acc, None, "chains", block=8
+            )
+            np.testing.assert_allclose(
+                np.asarray(mean_b), np.asarray(zs.mean(axis=0)),
+                rtol=1e-5,
+            )
+            np.testing.assert_allclose(
+                float(a_mean), float(acc.mean()), rtol=1e-5
+            )
+
+    def test_small_per_device_chain_count_bitwise(self):
+        """chains/D below the cap (16 chains over 8 devices: 2 per
+        device) must stay BITWISE equal to the vmap path — the r4 review
+        caught the old min(block, c_loc) clamp silently re-associating
+        here."""
+        from jax.sharding import Mesh
+
+        n = 16
+        zs = jax.random.normal(jax.random.key(5), (n, 2))
+        acc = jax.random.uniform(jax.random.key(6), (n,))
+        want = _cross_chain_stats(zs, acc, None, "chains")
+        for d in (2, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:d]), ("chains",))
+            got = _cross_chain_stats(zs, acc, mesh, "chains")
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                )
 
     def test_matches_plain_reductions(self):
         zs = jax.random.normal(jax.random.key(2), (64, 3))
