@@ -61,6 +61,7 @@ MODULES = [
     ("genjax_tpu.inference.svgd", "Stein variational gradient descent"),
     ("genjax_tpu.inference.requests.ess", "Elliptical slice sampling"),
     ("genjax_tpu.inference.predictive", "Posterior predictive sampling"),
+    ("genjax_tpu.inference.enumerative", "Exact enumerative posteriors"),
     ("genjax_tpu.inference.diagnostics", "Convergence diagnostics"),
     ("genjax_tpu.compat", "Reference-migration shims"),
 ]

@@ -9,6 +9,10 @@ from genjax_tpu.inference.sp import (
     marginal,
 )
 from genjax_tpu.inference import vi
+from genjax_tpu.inference.enumerative import (
+    EnumerationResult,
+    enumerate_posterior,
+)
 from genjax_tpu.inference.exact_testbed import (
     DiscreteHMMInferenceProblem,
     build_test_against_exact_inference,
@@ -86,6 +90,8 @@ __all__ = [
     "ChangeTarget",
     "DiscreteHMMInferenceProblem",
     "EllipticalSlice",
+    "EnumerationResult",
+    "enumerate_posterior",
     "HMC",
     "MALA",
     "elliptical_slice_kernel",
