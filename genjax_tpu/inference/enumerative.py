@@ -122,15 +122,14 @@ def enumerate_posterior(
     and evaluates ``assess`` on every combination in one vmap. Returns
     an :class:`EnumerationResult` (use ``site_marginal`` /
     ``map_assignment`` / ``log_marginal``)."""
+    from genjax_tpu.inference.transforms import path_present
+
     probe_tr, _ = target.importance(jax.random.key(0), ChoiceMap.empty())
     latents = target.filter_to_unconstrained(probe_tr.get_choices())
 
     def constrained(path):
         # A path absent from the latent choices is observed.
-        from genjax_tpu.inference.transforms import _map_at
-
-        _, found = _map_at(latents, path, lambda v, gate, branch: v)
-        return not found
+        return not path_present(latents, path)
 
     sites = list(_discrete_sites(probe_tr, constrained))
     if not sites:

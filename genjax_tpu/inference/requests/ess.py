@@ -150,7 +150,9 @@ class EllipticalSlice(EditRequest):
         nu, _ = ravel_pytree(nu_vals)
 
         mean = self.prior_mean
-        if not jnp.isscalar(mean) and not isinstance(mean, (int, float)):
+        if not isinstance(mean, (int, float)):
+            # Arrays and pytrees ravel to the position layout; a scalar
+            # array becomes shape (1,), which broadcasts identically.
             mean, _ = ravel_pytree(mean)
 
         z_next, _iters = elliptical_slice_kernel(

@@ -28,7 +28,7 @@ from genjax_tpu.gfi.mask import Mask
 __all__ = ["Bijector", "identity", "positive", "interval", "simplex",
            "PerBranch", "get_bijector", "constrain_choices",
            "unconstrain_choices", "infer_transforms",
-           "resolve_transforms"]
+           "path_present", "resolve_transforms"]
 
 
 class Bijector(NamedTuple):
@@ -473,6 +473,17 @@ def infer_transforms(trace, *, exclude=None) -> dict:
     return {a: s for a, s in out.items() if s is not None}
 
 
+def path_present(chm, addr) -> bool:
+    """Whether an address (flat or tuple path) resolves to a value in
+    ``chm`` — the same Indexed-transparent lookup ``constrain_choices``
+    uses. Shared by the observed-site exclusion of ``resolve_transforms``
+    and ``enumerative.enumerate_posterior``."""
+    _, found = _map_at(
+        chm, _addr_path(addr), lambda v, gate, branch: v
+    )
+    return found
+
+
 def resolve_transforms(target, transforms):
     """Normalize a ``transforms`` argument shared by the gradient-based
     fitters (``run_nuts``, ``run_svgd``): ``None`` -> ``{}``, a dict
@@ -487,17 +498,12 @@ def resolve_transforms(target, transforms):
         probe_latents = target.filter_to_unconstrained(
             probe_tr.get_choices()
         )
-
-        def _observed(addr):
-            # Exclude any address that does not survive in the latent
-            # choice map (i.e. observed sites) — tested with the same
-            # Indexed-transparent lookup constrain_choices uses.
-            _, found = _map_at(
-                probe_latents, _addr_path(addr), lambda v, gate, branch: v
-            )
-            return not found
-
-        return infer_transforms(probe_tr, exclude=_observed)
+        # Exclude any address that does not survive in the latent
+        # choice map (i.e. observed sites).
+        return infer_transforms(
+            probe_tr,
+            exclude=lambda addr: not path_present(probe_latents, addr),
+        )
     if isinstance(transforms, str):
         raise ValueError(
             f"transforms={transforms!r}: expected a dict, None, or the "

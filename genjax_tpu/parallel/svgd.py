@@ -64,6 +64,15 @@ def _phi_block(xs_loc, grads_loc, xs_all, grads_all, h_rows):
     return (k @ grads_all + repulse) / n
 
 
+def _local_phi(logdensity_fn, xs_loc, axis_name, h_rows):
+    """Shard-local SVGD direction: local gradients, one O(N·D) gather of
+    positions+gradients, local (n_loc, N) kernel math."""
+    grads_loc = jax.vmap(jax.grad(logdensity_fn))(xs_loc)
+    xs_all = lax.all_gather(xs_loc, axis_name, axis=0, tiled=True)
+    grads_all = lax.all_gather(grads_loc, axis_name, axis=0, tiled=True)
+    return _phi_block(xs_loc, grads_loc, xs_all, grads_all, h_rows)
+
+
 def sharded_svgd_step(
     logdensity_fn: Callable[[jax.Array], jax.Array],
     xs: jax.Array,
@@ -79,14 +88,9 @@ def sharded_svgd_step(
     h_rows = min(h_rows, n)
 
     def local(xs_loc):
-        grads_loc = jax.vmap(jax.grad(logdensity_fn))(xs_loc)
-        xs_all = lax.all_gather(xs_loc, axis_name, axis=0, tiled=True)
-        grads_all = lax.all_gather(
-            grads_loc, axis_name, axis=0, tiled=True
+        return xs_loc + step_size * _local_phi(
+            logdensity_fn, xs_loc, axis_name, h_rows
         )
-        phi_loc = _phi_block(xs_loc, grads_loc, xs_all, grads_all,
-                             h_rows)
-        return xs_loc + step_size * phi_loc
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name),
@@ -113,12 +117,7 @@ def run_sharded_svgd(
     def local(xs_loc):
         def body(carry, _):
             xs_l, acc = carry
-            grads_loc = jax.vmap(jax.grad(logdensity_fn))(xs_l)
-            xs_all = lax.all_gather(xs_l, axis_name, axis=0, tiled=True)
-            grads_all = lax.all_gather(
-                grads_loc, axis_name, axis=0, tiled=True
-            )
-            phi = _phi_block(xs_l, grads_loc, xs_all, grads_all, h_rows)
+            phi = _local_phi(logdensity_fn, xs_l, axis_name, h_rows)
             acc = 0.9 * acc + 0.1 * phi * phi
             xs_l = xs_l + step_size * phi / (1e-6 + jnp.sqrt(acc))
             return (xs_l, acc), None
