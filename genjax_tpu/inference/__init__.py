@@ -64,6 +64,7 @@ from genjax_tpu.inference.map_laplace import (
 )
 from genjax_tpu.inference.smc_sampler import (
     TemperedSMCResult,
+    annealed_importance_sampling,
     tempered_smc,
     waste_free_tempered_smc,
 )
@@ -121,6 +122,7 @@ __all__ = [
     "positive",
     "unconstrain_choices",
     "trace_particle_filter",
+    "annealed_importance_sampling",
     "tempered_smc",
     "waste_free_tempered_smc",
     "bootstrap_filter",

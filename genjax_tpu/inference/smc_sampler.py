@@ -32,7 +32,8 @@ from genjax_tpu.gfi.concepts import EditRequest
 from genjax_tpu.inference.smc import effective_sample_size, resample_tree
 from genjax_tpu.inference.sp import Target
 
-__all__ = ["tempered_smc", "waste_free_tempered_smc", "TemperedSMCResult"]
+__all__ = ["annealed_importance_sampling", "tempered_smc",
+           "waste_free_tempered_smc", "TemperedSMCResult"]
 
 
 class TemperedSMCResult(NamedTuple):
@@ -314,3 +315,31 @@ def waste_free_tempered_smc(
         return TemperedSMCResult(trs, lw, log_z, accs)
 
     return run
+
+
+def annealed_importance_sampling(
+    target: Target,
+    n_particles: int,
+    n_temps: int = 20,
+    make_request: "Callable[[], EditRequest] | None" = None,
+    n_moves: int = 1,
+):
+    """Annealed importance sampling (Neal 2001): ``tempered_smc``'s
+    ladder with resampling DISABLED, so every particle is an independent
+    AIS run and the weights are the classic AIS incremental products —
+    log Z̄ is unbiased in Z (not just consistent), per-particle weights
+    are exchangeable (no interaction), and the whole ensemble is
+    embarrassingly parallel (shard the particle axis with no resampling
+    collectives at all).
+
+    AIS *is* a degenerate SMC sampler — one code path, zero duplication:
+    ``ess_threshold=0`` makes the resample gate statically false, and
+    XLA dead-code-eliminates the resampling machinery. Prefer
+    ``tempered_smc`` when weight degeneracy matters (it usually does
+    past a few rungs); prefer AIS for evidence estimation with many
+    independent replicas or when the no-collective property is the
+    point. Returns the same ``run(key) -> TemperedSMCResult``."""
+    return tempered_smc(
+        target, n_particles, n_temps=n_temps, make_request=make_request,
+        n_moves=n_moves, ess_threshold=0.0,
+    )

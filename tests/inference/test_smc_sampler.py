@@ -100,3 +100,58 @@ class TestWasteFree:
             float(result.log_z), exact_logz(), atol=0.15
         )
         assert float(result.accept_rate.mean()) > 0.5
+
+
+class TestAIS:
+    """annealed_importance_sampling = tempered_smc with the resample
+    gate statically off: unbiased evidence, independent particles."""
+
+    def test_logz_matches_conjugate_evidence(self):
+        import genjax_tpu as g
+        from genjax_tpu.inference import annealed_importance_sampling
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        y = 1.0
+        target = Target(model, (), g.C["y"].set(y))
+        # Exact evidence: N(y; 0, 1 + 0.25).
+        from jax.scipy.stats import norm
+
+        exact = float(norm.logpdf(y, 0.0, jnp.sqrt(1.25)))
+        run = annealed_importance_sampling(
+            target, n_particles=512, n_temps=16, n_moves=2
+        )
+        res = jax.jit(run)(jax.random.key(4))
+        assert abs(float(res.log_z) - exact) < 0.05
+        # Weights are non-degenerate (independent runs, no resampling).
+        lw = np.asarray(res.log_weights)
+        assert np.isfinite(lw).all()
+        ess = np.exp(2 * np.log(np.exp(lw - lw.max()).sum())
+                     - np.log((np.exp(lw - lw.max()) ** 2).sum()))
+        assert ess > 64
+
+    def test_bitwise_equals_tempered_with_zero_threshold(self):
+        import genjax_tpu as g
+        from genjax_tpu.inference import (
+            annealed_importance_sampling,
+            tempered_smc,
+        )
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(0.3))
+        a = jax.jit(annealed_importance_sampling(target, 64, n_temps=6))(
+            jax.random.key(5)
+        )
+        b = jax.jit(tempered_smc(target, 64, n_temps=6,
+                                 ess_threshold=0.0))(jax.random.key(5))
+        assert np.array_equal(np.asarray(a.log_z), np.asarray(b.log_z))
+        assert np.array_equal(
+            np.asarray(a.log_weights), np.asarray(b.log_weights)
+        )
