@@ -106,13 +106,49 @@ def elliptical_slice_kernel(
     return z_new, iters + 1  # +1 for the initial loglik(z) evaluation
 
 
+#: Distributions whose prior an ellipse is exact for. ESS on anything
+#: else silently samples a wrong stationary distribution, so the edit
+#: probes the trace and raises (ADVICE r4: no runtime signal before).
+_GAUSSIAN_SITES = frozenset({"normal", "mv_normal_diag", "mv_normal"})
+
+
+def _check_gaussian_sites(tr, sel, path=()):
+    """Walk a trace at probe time, raising if any statically-selected
+    distribution site is non-Gaussian. Best effort: combinator trace
+    nodes and dynamic selection flags are skipped (the docstring
+    contract still applies there); plain ``@gen`` nesting — the common
+    ESS use — is fully validated."""
+    from genjax_tpu.lang.distributions.distribution import DistributionTrace
+    from genjax_tpu.lang.static import StaticTrace
+
+    if isinstance(tr, DistributionTrace):
+        flag = sel.check()
+        if not isinstance(flag, (bool, int)) or not flag:
+            return  # dynamic flag or unselected: nothing to prove
+        name = getattr(tr.gen_fn, "name", None)
+        if name not in _GAUSSIAN_SITES:
+            raise ValueError(
+                f"EllipticalSlice: selected site {path} is a '{name}' "
+                "distribution — the elliptical slice transition is only "
+                "valid for (conditionally) Gaussian priors "
+                f"({', '.join(sorted(_GAUSSIAN_SITES))}). Select only "
+                "Gaussian sites, or use Regenerate/HMC for this one."
+            )
+        return
+    if isinstance(tr, StaticTrace):
+        for addr, sub in zip(tr.addresses, tr.subtraces):
+            _check_gaussian_sites(sub, sel(addr), path + (addr,))
+
+
 @Pytree.dataclass
 class EllipticalSlice(EditRequest):
     """ESS over the selected choices of a trace. The selected sites'
     prior (given everything unselected) must be Gaussian — normal /
     mv_normal_diag / mv_normal sites whose parameters depend only on
-    unselected choices. The returned edit weight is 0 (ESS leaves the
-    posterior invariant; under ``mh`` it always accepts)."""
+    unselected choices (enforced at probe time by
+    :func:`_check_gaussian_sites` for plain ``@gen`` nesting). The
+    returned edit weight is 0 (ESS leaves the posterior invariant;
+    under ``mh`` it always accepts)."""
 
     selection: Selection
     prior_mean: Any = 0.0
@@ -120,6 +156,7 @@ class EllipticalSlice(EditRequest):
 
     def edit(self, key: jax.Array, tr: Trace[Any], argdiffs: Argdiffs):
         assert Diff.static_check_no_change(argdiffs)
+        _check_gaussian_sites(tr, self.selection)
         args = Diff.tree_primal(argdiffs)
         chm = tr.get_choices()
         selected = chm.filter(self.selection)

@@ -72,7 +72,10 @@ def tempered_smc(
     (prior) to β=1 (posterior) over a linear ladder of ``n_temps`` rungs.
 
     ``make_request``: a thunk returning the rejuvenation move request
-    (default: ``Regenerate`` of all unconstrained addresses)."""
+    (default: ``Regenerate`` of all unconstrained addresses).
+    ``ess_threshold=0.0`` statically elides the resample branch from
+    the compiled program (the AIS case — see
+    :func:`annealed_importance_sampling`)."""
     lik_sel = target.constraint.get_selection()
 
     if make_request is None:
@@ -122,28 +125,33 @@ def tempered_smc(
             # Reweight to the next temperature.
             lw = lw + (beta - beta_prev) * logliks
 
-            # Adaptive resampling.
-            ess = effective_sample_size(lw)
+            # Adaptive resampling. ``ess_threshold`` is static: at 0.0
+            # (the AIS degenerate case) the gate could never fire, so
+            # the cond — and with it the resample machinery and its
+            # collectives — is not built at all (ADVICE r4: a traced
+            # ``ess < 0.0`` cond still compiles both branches).
+            if ess_threshold > 0.0:
+                ess = effective_sample_size(lw)
 
-            def do_resample(args):
-                trs, logliks, lw, log_z = args
-                # Resample traces and their cached logliks JOINTLY — a
-                # resampled trace must carry its own loglik, or the
-                # tempered MH alpha and the next rung's reweight use
-                # stale values (biasing the posterior and log_z).
-                trs, logliks = resample_tree(
-                    k_res, lw, (trs, logliks), n_particles, resampling,
-                    invariant=invariant,
+                def do_resample(args):
+                    trs, logliks, lw, log_z = args
+                    # Resample traces and their cached logliks JOINTLY —
+                    # a resampled trace must carry its own loglik, or
+                    # the tempered MH alpha and the next rung's reweight
+                    # use stale values (biasing posterior and log_z).
+                    trs, logliks = resample_tree(
+                        k_res, lw, (trs, logliks), n_particles,
+                        resampling, invariant=invariant,
+                    )
+                    log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
+                    return trs, logliks, jnp.zeros_like(lw), log_z
+
+                trs, logliks, lw, log_z = lax.cond(
+                    ess < ess_threshold * n_particles,
+                    do_resample,
+                    lambda args: args,
+                    (trs, logliks, lw, log_z),
                 )
-                log_z = log_z + logsumexp(lw) - jnp.log(n_particles)
-                return trs, logliks, jnp.zeros_like(lw), log_z
-
-            trs, logliks, lw, log_z = lax.cond(
-                ess < ess_threshold * n_particles,
-                do_resample,
-                lambda args: args,
-                (trs, logliks, lw, log_z),
-            )
 
             # Rejuvenation moves at temperature `beta`.
             def one_move(carry, m):
@@ -333,8 +341,10 @@ def annealed_importance_sampling(
     collectives at all).
 
     AIS *is* a degenerate SMC sampler — one code path, zero duplication:
-    ``ess_threshold=0`` makes the resample gate statically false, and
-    XLA dead-code-eliminates the resampling machinery. Prefer
+    ``ess_threshold=0`` is special-cased in ``tempered_smc`` so the
+    resample cond (and its collectives) is never even built into the
+    program — the no-collective property holds in the compiled HLO,
+    not just behaviorally. Prefer
     ``tempered_smc`` when weight degeneracy matters (it usually does
     past a few rungs); prefer AIS for evidence estimation with many
     independent replicas or when the no-collective property is the

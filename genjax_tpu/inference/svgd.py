@@ -39,6 +39,36 @@ from genjax_tpu.inference.sp import Target
 __all__ = ["svgd_step", "run_svgd"]
 
 
+def _check_continuous_sites(tr, constrained, path=()):
+    """Probe-time guard (ADVICE r4): SVGD moves a raveled float position,
+    so an unconstrained discrete site (flip/categorical/poisson/...)
+    would get meaningless gradients and drifted float values written
+    back silently. Walk plain ``@gen`` nesting and raise on any
+    unconstrained distribution site whose value is bool/integer; the
+    raveled-leaf dtype check in :func:`run_svgd` backstops combinator
+    structures this walk skips."""
+    from genjax_tpu.lang.distributions.distribution import DistributionTrace
+    from genjax_tpu.lang.static import StaticTrace
+
+    if isinstance(tr, DistributionTrace):
+        if constrained(path):
+            return
+        dt = jnp.asarray(tr.value).dtype
+        if not jnp.issubdtype(dt, jnp.inexact):
+            name = getattr(tr.gen_fn, "name", None)
+            raise ValueError(
+                f"run_svgd: unconstrained site {path} is a '{name}' "
+                f"distribution with {dt} values — SVGD transports a "
+                "continuous position vector and cannot move discrete "
+                "sites. Constrain or marginalize this site (e.g. "
+                "enumerate it out), or use PGibbs/Regenerate moves."
+            )
+        return
+    if isinstance(tr, StaticTrace):
+        for addr, sub in zip(tr.addresses, tr.subtraces):
+            _check_continuous_sites(sub, constrained, path + (addr,))
+
+
 def _rbf_phi(xs: jax.Array, grads: jax.Array,
              h_rows: int | None = None) -> jax.Array:
     """SVGD update direction for an RBF kernel, fully matrix-form.
@@ -108,6 +138,14 @@ def run_svgd(
 
     transforms = resolve_transforms(target, transforms)
 
+    from genjax_tpu.inference.transforms import path_present
+
+    probe_tr, _ = target.importance(jax.random.key(0), ChoiceMap.empty())
+    probe_latents = target.filter_to_unconstrained(probe_tr.get_choices())
+    _check_continuous_sites(
+        probe_tr, lambda p: not path_present(probe_latents, p)
+    )
+
     k_init, _ = jax.random.split(key)
     init_keys = jax.vmap(
         lambda c: jax.random.fold_in(k_init, c)
@@ -126,6 +164,13 @@ def run_svgd(
     vals0, rebuild = partition_values(
         jax.tree_util.tree_map(lambda v: v[0], latents0)
     )
+    for leaf in jax.tree_util.tree_leaves(vals0):
+        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+            raise ValueError(
+                "run_svgd: a latent leaf has dtype "
+                f"{jnp.asarray(leaf).dtype} — discrete sites cannot ride "
+                "the SVGD position vector (see _check_continuous_sites)."
+            )
     _, unravel_vals = ravel_pytree(vals0)
 
     def unravel(z_vec):

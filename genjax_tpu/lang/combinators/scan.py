@@ -7,9 +7,11 @@ Parity target: ``/root/reference/src/genjax/_src/generative_functions/
 combinators/scan.py`` (``ScanTrace`` :55, ``Scan`` :109, per-step fold_in
 keys :213, int-indexed choices :77, ``assess`` :638-664, derived
 ``accumulate``/``reduce``/``iterate``/``iterate_final``/``masked_iterate``
-:791-1150). The reference's ``edit_index`` single-step repair is subsumed
-here by a full re-scan (correct for all argdiffs; the O(1)-step repair is a
-later optimization).
+:791-1150). ``IndexRequest`` edits dispatch to ``_edit_index_fast`` — an
+O(1) single-step repair valid when the scanned args are unchanged (parity
+with the reference's ``edit_index`` carry-repair, its ``scan.py:325-416``)
+— and fall back to a full re-scan under changed args (correct for all
+argdiffs).
 """
 
 from __future__ import annotations

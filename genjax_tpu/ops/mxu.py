@@ -53,6 +53,12 @@ def mxu_dot(a: jax.Array, b: jax.Array) -> jax.Array:
     also ride the fast MXU path. Works for any ranks with the single
     shared contraction dim (internally canonicalized to 2-D).
     """
+    if a.shape[-1] != b.shape[0]:
+        raise ValueError(
+            f"mxu_dot contraction mismatch: a.shape[-1]={a.shape[-1]} "
+            f"!= b.shape[0]={b.shape[0]} (a.shape={a.shape}, "
+            f"b.shape={b.shape})"
+        )
     K = b.shape[0]
     out2 = _bf16_mm(a.reshape(-1, K), b.reshape(K, -1))
     return out2.reshape(*a.shape[:-1], *b.shape[1:])

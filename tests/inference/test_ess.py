@@ -136,3 +136,37 @@ class TestTraceRequest:
         mus = np.asarray(mus)[:, 100:]
         assert abs(mus.mean() - 0.8) < 0.05
         assert np.isfinite(mus).all()
+
+
+class TestGaussianGuard:
+    def test_non_gaussian_selected_site_raises(self):
+        """ADVICE r4: selecting a non-Gaussian site must raise at probe
+        time — ESS on it would silently sample a wrong stationary
+        distribution."""
+        import pytest
+
+        @g.gen
+        def model():
+            r = g.gamma(2.0, 2.0) @ "r"
+            _ = g.normal(r, 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(1.0))
+        tr, _ = target.importance(KEY, g.ChoiceMap.empty())
+        req = EllipticalSlice(g.Selection.at["r"])
+        with pytest.raises(ValueError, match="gamma"):
+            tr.edit(jax.random.fold_in(KEY, 1), req)
+
+    def test_gaussian_site_passes_guard(self):
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            r = g.gamma(2.0, 2.0) @ "r"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(1.0))
+        tr, _ = target.importance(KEY, g.ChoiceMap.empty())
+        # Selecting only the Gaussian site is fine even though a gamma
+        # site exists elsewhere in the trace.
+        req = EllipticalSlice(g.Selection.at["mu"])
+        new_tr, w, _rd, _bwd = tr.edit(jax.random.fold_in(KEY, 2), req)
+        assert float(w) == 0.0

@@ -155,3 +155,39 @@ class TestAIS:
         assert np.array_equal(
             np.asarray(a.log_weights), np.asarray(b.log_weights)
         )
+
+    def test_zero_threshold_never_builds_resample(self, monkeypatch):
+        """ADVICE r4: ``ess_threshold=0`` must statically elide the
+        resample branch — not merely never take it at runtime. Stub the
+        resampler to explode if it is ever traced: AIS tracing succeeds,
+        the adaptive sampler's tracing hits the stub."""
+        import pytest
+
+        import genjax_tpu as g
+        from genjax_tpu.inference import (
+            annealed_importance_sampling,
+            smc_sampler,
+            tempered_smc,
+        )
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(0.3))
+
+        def boom(*a, **k):
+            raise AssertionError("resample_tree was traced")
+
+        monkeypatch.setattr(smc_sampler, "resample_tree", boom)
+        # AIS: the resample cond is never built, so tracing never calls
+        # the stub.
+        jax.make_jaxpr(
+            annealed_importance_sampling(target, 16, n_temps=3)
+        )(jax.random.key(0))
+        # Adaptive: the cond IS built — tracing must hit the stub.
+        with pytest.raises(AssertionError, match="resample_tree"):
+            jax.make_jaxpr(
+                tempered_smc(target, 16, n_temps=3, ess_threshold=0.5)
+            )(jax.random.key(0))

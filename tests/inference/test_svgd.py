@@ -91,3 +91,36 @@ class TestRunSVGD:
         # Posterior mass concentrates below the prior mean 1.0 given the
         # small observation.
         assert 0.3 < sig.mean() < 1.0
+
+
+class TestDiscreteGuard:
+    def test_unconstrained_discrete_site_raises(self):
+        """ADVICE r4: SVGD on a model with an unconstrained flip must
+        raise loudly instead of silently writing drifted floats back
+        into the discrete address."""
+        import pytest
+
+        @g.gen
+        def model():
+            z = g.flip(0.3) @ "z"
+            _ = g.normal(jnp.where(z, 1.0, -1.0), 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(0.8))
+        with pytest.raises(ValueError, match="discrete|flip"):
+            run_svgd(target, KEY, n_particles=8, n_steps=1)
+
+    def test_constrained_discrete_site_is_fine(self):
+        """A discrete site pinned by the target constraint is not part
+        of the position vector — no error, inference proceeds."""
+
+        @g.gen
+        def model():
+            z = g.flip(0.3) @ "z"
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu + jnp.where(z, 1.0, 0.0), 0.5) @ "y"
+
+        target = Target(
+            model, (), g.C["y"].set(0.8) | g.C["z"].set(True)
+        )
+        chm = run_svgd(target, KEY, n_particles=32, n_steps=50)
+        assert np.isfinite(np.asarray(chm["mu"])).all()

@@ -88,3 +88,16 @@ class TestGradients:
         assert vals.shape == (8,) and grads.shape == (8, 16)
         assert np.isfinite(np.asarray(vals)).all()
         assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_contraction_mismatch_raises():
+    """ADVICE r4: a mismatched contraction dim gets an explicit error,
+    not a confusing trailing-reshape failure."""
+    import pytest
+
+    a = jnp.zeros((4, 5))
+    b = jnp.zeros((6, 3))
+    with pytest.raises(ValueError, match="contraction mismatch"):
+        from genjax_tpu.ops.mxu import mxu_dot
+
+        mxu_dot(a, b)
