@@ -45,7 +45,16 @@ def save_checkpoint(path: str, state: Any) -> None:
 
 def restore_checkpoint(path: str, like: Any) -> Any:
     """Restore a pytree saved by :func:`save_checkpoint`; ``like`` supplies
-    the static structure (an exemplar state, e.g. a zero trace)."""
+    the static structure (an exemplar state, e.g. a zero trace).
+
+    Cross-topology restore (the elastic down-shift scenario,
+    ``utils/failure.py``): leaves of ``like`` that are committed
+    ``jax.Array``\\s carry their SHARDING into the Orbax restore target,
+    so a checkpoint saved on an 8-device mesh restores directly onto a
+    template laid out over 4 devices (or any other healthy topology) —
+    no unsharded intermediate, and no "unsafe when restoring on a
+    different topology" fallback. Templates of plain numpy/python
+    leaves restore unsharded as before."""
     if path.endswith(".npz"):
         data = np.load(path)
         leaves, treedef = _flatten(like)
@@ -57,11 +66,18 @@ def restore_checkpoint(path: str, like: Any) -> Any:
 
     ckptr = ocp.StandardCheckpointer()
     leaves, treedef = _flatten(like)
-    abstract = jtu.tree_unflatten(
-        treedef,
-        [
-            jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype)
-            for v in leaves
-        ],
-    )
+
+    def _abstract(v):
+        # Any jax.Array template leaf carries a sharding (explicit mesh
+        # placement or the default single-device one) — by construction
+        # it lives on healthy devices, so it is always a valid restore
+        # target; plain numpy/python leaves restore unsharded.
+        sharding = getattr(v, "sharding", None)
+        if sharding is not None:
+            return jax.ShapeDtypeStruct(
+                jnp.shape(v), jnp.asarray(v).dtype, sharding=sharding
+            )
+        return jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype)
+
+    abstract = jtu.tree_unflatten(treedef, [_abstract(v) for v in leaves])
     return ckptr.restore(os.path.abspath(path), abstract)

@@ -251,7 +251,14 @@ def run_elastic(
                 f"({kind} at step {i}: {detail})"
             )
         devs = devices()
-        at, restored = _restore(template)
+        # Restore INTO the healthy topology: the template is re-placed
+        # first, so a sharding-aware backend (Orbax) reads the
+        # checkpoint straight into the surviving devices' layout — on a
+        # real slice the failed chip may not even be addressable, so
+        # restoring into the original sharding is not an option. The
+        # second ``place`` runs the user hook on the restored VALUES
+        # (e.g. clearing a transient-fault flag).
+        at, restored = _restore(place(template, devs))
         state = place(restored, devs)
         result.events.append(FailureEvent(
             step=i, kind=kind, detail=detail,

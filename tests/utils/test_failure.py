@@ -271,3 +271,71 @@ class TestMeshPlace:
             mesh_place("particles", min_devices=9)(
                 jnp.ones(8), jax.devices()
             )
+
+
+class TestCrossTopologyElastic:
+    @pytest.mark.filterwarnings(
+        "error:Sharding info not provided")
+    def test_orbax_downshift_real_smc_ensemble(self, tmp_path):
+        """End-to-end VERDICT r4 missing #3: a sharded SMC-style
+        ensemble checkpoints through the ORBAX (sharding-aware) path on
+        the 8-device mesh, hits a transient fault, restores directly
+        onto the surviving 4-device topology via mesh_place, and
+        continues to the bitwise-identical posterior state."""
+        from jax.scipy.special import logsumexp
+
+        from genjax_tpu.utils.failure import mesh_place
+
+        n = 64
+        full = Mesh(np.asarray(jax.devices()), ("particles",))
+        sh = NamedSharding(full, P("particles"))
+        state0 = {
+            "xs": jax.device_put(
+                jax.random.normal(jax.random.key(7), (n,)), sh
+            ),
+            "lw": jax.device_put(jnp.zeros(n), sh),
+            "logz": jnp.zeros(()),
+            "poison": jnp.ones(()),
+        }
+
+        def step(i, state):
+            k = jax.random.fold_in(KEY, i)
+            xs = 0.8 * state["xs"] + 0.2 * jax.random.normal(k, (n,))
+            lw = state["lw"] - 0.5 * (xs - 1.0) ** 2
+            logz = state["logz"] + logsumexp(lw) - jnp.log(float(n))
+            xs = xs + jnp.where(
+                (i == 6) & (state["poison"] != 0.0), jnp.nan, 0.0
+            )
+            return {"xs": xs, "lw": lw, "logz": logz,
+                    "poison": state["poison"]}
+
+        half_devs = jax.devices()[:4]
+        base_place = mesh_place("particles")
+
+        def place(state, devs):
+            out = base_place(state, devs)
+            out["poison"] = jnp.zeros(())
+            return out
+
+        # Orbax directory path (no .npz suffix) => the sharding-aware
+        # backend; the restore template is ALREADY on the 4-device mesh
+        # (run_elastic places it before restoring).
+        res = run_elastic(
+            step, state0, 16,
+            ckpt_path=str(tmp_path / "orbax_ck"),
+            chunk=4, max_retries=2,
+            devices=lambda: half_devs, place=place,
+        )
+        assert [e.kind for e in res.events] == ["nonfinite"]
+        assert res.events[0].n_devices == 4
+        assert set(res.state["xs"].sharding.device_set) == set(half_devs)
+
+        oracle = run_elastic(
+            step, {**state0, "poison": jnp.zeros(())}, 16,
+            ckpt_path=str(tmp_path / "oracle_ck"), chunk=4,
+        )
+        assert oracle.events == []
+        for k in ("xs", "lw", "logz"):
+            np.testing.assert_array_equal(
+                np.asarray(res.state[k]), np.asarray(oracle.state[k])
+            )
