@@ -650,3 +650,139 @@ class TestScanFreshKeys:
         keys = jax.random.split(KEY, 500)
         gs = jax.vmap(lambda k: loss.grad_estimate(k, (1.0,))[0])(keys)
         assert abs(float(gs.mean()) - 1.0) < 0.05
+
+
+class TestRekeyContractProperties:
+    """Property tests of the ADEV rekeying contract (VERDICT r4 item 9):
+    across nested scan/vmap combinations, user-threaded keys (scan-carry
+    chains, per-lane fold_ins) are BITWISE respected under jvp_estimate
+    — same primal/tangent for any interpreter key, matching a plain-jax
+    oracle replay of the user's key chain — while default/constant keys
+    are freshened per interpreter key."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _build(structure, n_out, n_in, mu, k0, with_const_site):
+        """An @expectation program summing user-keyed normal_reparam
+        draws arranged per ``structure``; optionally adds one
+        default-keyed site at the end."""
+        from genjax_tpu.adev import primitives as prims
+        from genjax_tpu.adev.core import sample_primitive
+
+        @expectation
+        def loss(mu):
+            if structure == "scan_scan":
+                def body_out(c, _):
+                    def body_in(ci, _):
+                        ti, ki = ci
+                        ki, sub = jax.random.split(ki)
+                        x = sample_primitive(
+                            prims.normal_reparam, mu, 1.0, key=sub
+                        )
+                        return (ti + x, ki), None
+
+                    ci, _ = jax.lax.scan(body_in, c, None, length=n_in)
+                    return ci, None
+
+                (tot, _), _ = jax.lax.scan(
+                    body_out, (0.0, k0), None, length=n_out
+                )
+            elif structure == "vmap_scan":
+                def lane(i):
+                    k = jax.random.fold_in(k0, i)
+
+                    def body(ci, _):
+                        ti, ki = ci
+                        ki, sub = jax.random.split(ki)
+                        x = sample_primitive(
+                            prims.normal_reparam, mu, 1.0, key=sub
+                        )
+                        return (ti + x, ki), None
+
+                    (tot, _), _ = jax.lax.scan(
+                        body, (0.0, k), None, length=n_in
+                    )
+                    return tot
+
+                tot = jnp.sum(jax.vmap(lane)(jnp.arange(n_out)))
+            else:  # scan_vmap
+                def body(c, _):
+                    ti, ki = c
+                    ki, sub = jax.random.split(ki)
+                    subs = jax.random.split(sub, n_in)
+                    xs = jax.vmap(
+                        lambda kk: sample_primitive(
+                            prims.normal_reparam, mu, 1.0, key=kk
+                        )
+                    )(subs)
+                    return (ti + jnp.sum(xs), ki), None
+
+                (tot, _), _ = jax.lax.scan(
+                    body, (0.0, k0), None, length=n_out
+                )
+            if with_const_site:
+                tot = tot + normal_reparam(mu, 1.0)
+            return tot
+
+        return loss
+
+    @staticmethod
+    def _oracle(structure, n_out, n_in, mu, k0):
+        """Plain-jax replay of the user key chain (no ADEV anywhere)."""
+        tot = 0.0
+        if structure == "scan_scan":
+            k = k0
+            for _ in range(n_out * n_in):
+                k, sub = jax.random.split(k)
+                tot += mu + float(jax.random.normal(sub))
+        elif structure == "vmap_scan":
+            for i in range(n_out):
+                k = jax.random.fold_in(k0, i)
+                for _ in range(n_in):
+                    k, sub = jax.random.split(k)
+                    tot += mu + float(jax.random.normal(sub))
+        else:  # scan_vmap
+            k = k0
+            for _ in range(n_out):
+                k, sub = jax.random.split(k)
+                for kk in jax.random.split(sub, n_in):
+                    tot += mu + float(jax.random.normal(kk))
+        return tot
+
+    @given(
+        st.sampled_from(["scan_scan", "vmap_scan", "scan_vmap"]),
+        st.integers(1, 3),
+        st.integers(1, 3),
+        st.integers(0, 2**16),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_user_chain_bitwise_and_const_freshened(
+        self, structure, n_out, n_in, seed
+    ):
+        mu = 0.7
+        k0 = jax.random.key(seed)
+        ik1, ik2 = jax.random.key(seed + 1), jax.random.key(seed + 7)
+
+        # 1. All-user-keyed: bitwise identical across interpreter keys,
+        # matching the oracle replay; tangent is exactly the site count
+        # (pathwise x = mu + eps).
+        loss = self._build(structure, n_out, n_in, mu, k0, False)
+        d1 = loss.jvp_estimate(ik1, (Dual(mu, 1.0),))
+        d2 = loss.jvp_estimate(ik2, (Dual(mu, 1.0),))
+        assert float(d1.primal) == float(d2.primal)
+        assert float(d1.tangent) == float(d2.tangent)
+        n_sites = n_out * n_in
+        assert float(d1.tangent) == pytest.approx(n_sites, abs=1e-5)
+        oracle = self._oracle(structure, n_out, n_in, mu, k0)
+        assert float(d1.primal) == pytest.approx(oracle, rel=1e-5)
+
+        # 2. With a default-keyed site added, the interpreter freshens
+        # it: primals differ across interpreter keys, and the user part
+        # is still the oracle (difference is exactly the const draw).
+        lossc = self._build(structure, n_out, n_in, mu, k0, True)
+        c1 = lossc.jvp_estimate(ik1, (Dual(mu, 1.0),))
+        c2 = lossc.jvp_estimate(ik2, (Dual(mu, 1.0),))
+        assert float(c1.primal) != float(c2.primal)
+        assert float(c1.tangent) == pytest.approx(n_sites + 1, abs=1e-5)
