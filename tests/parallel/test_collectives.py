@@ -418,3 +418,46 @@ class TestLayoutFreeBlock:
 
         # The 2^20-particle product path keeps its tuned 256 block.
         assert _layout_free_block(1 << 20, 256) == 256
+
+
+class TestCommModelExtraction:
+    """Pins tools/comm_model.py's HLO collective extraction — the
+    measured half of docs/SCALING_MODEL.md — against the ring resample
+    whose comm structure is already asserted line-by-line above."""
+
+    def test_ring_resample_classification(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "..", "tools"
+        ))
+        from comm_model import extract_collectives
+
+        n = 1 << 16
+        mesh = _mesh_of(8)
+        lw = jax.random.normal(jax.random.key(0), (n,))
+        xs = jax.random.normal(jax.random.key(1), (n,))
+        txt = (
+            jax.jit(lambda k, w, t: ring_resample_step(k, w, t, mesh))
+            .lower(jax.random.key(2), lw, xs)
+            .compile()
+            .as_text()
+        )
+        colls = extract_collectives(txt)
+        assert colls, "no collectives extracted"
+        uncond_perm = [c["bytes"] for c in colls
+                       if c["op"] == "collective-permute"
+                       and not c["under_while"]]
+        gated_perm = [c["bytes"] for c in colls
+                      if c["op"] == "collective-permute"
+                      and c["under_while"]]
+        # The halo exchange is unconditional and halo-sized (halo =
+        # max(256, n/8/16) = 512 lanes, 4 B each); the ring fallback is
+        # while-gated and block-sized (n/8 = 8192 lanes).
+        assert uncond_perm and max(uncond_perm) <= 512 * 4
+        assert gated_perm and max(gated_perm) >= 8192 * 4
+        # The blocked-stats all_gather is unconditional: 3*(n/256)*4 B.
+        ag = [c["bytes"] for c in colls
+              if c["op"] == "all-gather" and not c["under_while"]]
+        assert sum(ag) == 3 * (n // 256) * 4
