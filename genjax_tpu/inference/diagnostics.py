@@ -61,7 +61,16 @@ def ess_autocorr(samples: jax.Array, max_lag: int | None = None) -> jax.Array:
         denom = c * jnp.maximum(n - lag, 1)
         return jnp.sum(prod, axis=(0, 1)) / denom / jnp.maximum(var, 1e-12)
 
-    rhos = jax.vmap(rho_at)(jnp.arange(1, max_lag + 1))     # (L, ...)
+    # Chunked lag loop: a flat vmap over all L lags materializes an
+    # (L, chains, draws) intermediate — 6.5 GB at 1024 chains x 1600
+    # draws — which OOMs accelerators; lax.map over 64-lag chunks
+    # bounds it at 64·c·n with identical per-lag values.
+    lags = jnp.arange(1, max_lag + 1)
+    chunk = 64
+    pad = (-max_lag) % chunk
+    lags_p = jnp.concatenate([lags, jnp.ones((pad,), lags.dtype)])
+    rhos_p = jax.lax.map(jax.vmap(rho_at), lags_p.reshape(-1, chunk))
+    rhos = rhos_p.reshape((-1,) + rhos_p.shape[2:])[:max_lag]  # (L, ...)
     rho0 = jnp.ones((1,) + rhos.shape[1:], rhos.dtype)
     rho_full = jnp.concatenate([rho0, rhos], axis=0)        # (L+1, ...)
     gam = rho_full[0::2] + rho_full[1::2]                   # (K, ...) pairs
