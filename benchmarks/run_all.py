@@ -224,8 +224,23 @@ def config3_hmm_smc(small: bool):
 
     n = 1 << (19 if not small else 10)
     pf = hmm_bootstrap_filter(config, n)
-    fn = jax.jit(lambda k: pf(k, obs)[0].log_z)
+    # Round 5: fold reps into ONE dispatch. The device runs the whole
+    # 512k x 64 filter in 23.3 ms (profiled) but a single dispatch pays
+    # the ~30 ms tunnel round trip — the round-4 "676.9M psteps/s" was
+    # ~47% dispatch overhead. reps stay 1 off-TPU (no tunnel there).
+    on_cpu = jax.devices()[0].platform == "cpu"
+    reps = 1 if (small or on_cpu) else 8
+
+    @jax.jit
+    def fn(k):
+        def body(c, i):
+            return c + pf(jax.random.fold_in(k, i), obs)[0].log_z, None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(reps))
+        return tot / reps
+
     logz, dt = _sync_time(fn, jax.random.key(0))
+    dt = dt / reps
     # Cost model: per particle-step the categorical transition reads an
     # S-logit row (4S B) and does a gumbel-argmax over it (~8S flop),
     # plus the emission lookup + resampling amortization (~24 B).

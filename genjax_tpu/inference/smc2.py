@@ -15,10 +15,14 @@ the algorithm never loses the pseudo-marginal guarantee.
 TPU-native shape: everything is one ``lax.scan`` over time. The state
 ensemble is a (N_θ, N_x) lane grid — propagate/weight are elementwise
 over 65k+ lanes, inner resampling is a per-θ-row systematic scheme
-(one grid offset per row inverted by a batched merge sort — no binary
-search, no scatter), and the O(t)-cost PMMH re-run is a masked
-fixed-length scan behind ``lax.cond`` so the common no-rejuvenation
-step pays nothing. CAVEAT: do NOT ``jax.vmap`` whole SMC² runs —
+executed (on TPU) as ONE fused interval-membership contraction that
+produces the resampled values directly — no sorts, no gathers, no
+scatters (``smc.resample_values_rows``; the round-4 sort-merge +
+batched-gather path remains as ``inner_impl="sort"``, the faster form
+on CPU) — and the O(t)-cost PMMH re-run is a dynamic-trip-count
+``fori_loop`` behind ``lax.cond`` (every θ-lane shares the outer step
+index) so the common no-rejuvenation step pays nothing and a firing
+pays t, not T, steps. CAVEAT: do NOT ``jax.vmap`` whole SMC² runs —
 under vmap the ``lax.cond`` lowers to both-branches-execute, so every
 step would pay the full rejuvenation re-run. For replicated runs,
 launch separate jit calls (or pmap/shard_map over a replica axis,
@@ -49,6 +53,8 @@ from genjax_tpu.inference.smc import (
     resample_indices,
     resample_indices_rows,
     resample_indices_sorted,
+    resample_values,
+    resample_values_rows,
 )
 
 __all__ = ["SMC2Result", "smc2"]
@@ -73,6 +79,7 @@ def smc2(
     proposal: Callable | float = 0.1,
     ess_threshold: float = 0.5,
     inner_resampling: str = "systematic",
+    inner_impl: str = "auto",
 ):
     """Build ``run(key, ys) -> SMC2Result``.
 
@@ -80,48 +87,61 @@ def smc2(
     (``"systematic"`` default — one grid offset per row, strictly lower
     offspring variance than ``"multinomial"`` at the same batched-sort
     cost; VERDICT r2 item 6). The θ-resample stays multinomial (a single
-    K-sized draw, not on the hot path)."""
+    K-sized draw, not on the hot path).
+
+    ``inner_impl``: how systematic inner resampling executes —
+    ``"fused"`` (one interval-membership contraction producing the
+    resampled VALUES; no sorts/gathers — 3x the sort path on TPU at
+    1024x1024, round 5), ``"sort"`` (merge-sort ancestors + gather —
+    the O(K log K) form, faster on CPU), or ``"auto"`` (backend
+    dispatch, the :func:`~genjax_tpu.inference.smc.resample_tree`
+    convention). Non-systematic methods always use the sort path."""
     if not callable(proposal):
         proposal = gaussian_walk_proposal(proposal)
+    if inner_impl not in ("auto", "fused", "sort"):
+        raise ValueError(f"unknown inner_impl {inner_impl!r}")
+    if inner_impl == "auto":
+        inner_impl = (
+            "sort" if jax.default_backend() == "cpu" else "fused"
+        )
+    use_fused = inner_impl == "fused" and inner_resampling == "systematic"
+
+    def _inner_resample(k_res, lw, xs):
+        if use_fused:
+            # Fused interval contraction: resampling + "gather" in one
+            # reduce fusion — no sorts, no per-row batched gather
+            # (measured 4.9 vs 15.5 ms at 1024x1024; round 5).
+            return resample_values(k_res, lw, xs, n_x)
+        anc = resample_indices_sorted(
+            k_res, lw, n_x, method=inner_resampling
+        )
+        return jtu.tree_map(lambda v: v[anc], xs)
 
     def _inner_filter(key, theta, ys, t_mask):
-        """Full bootstrap filter for one θ over ``ys`` with steps
-        beyond ``t_mask`` disabled; returns (xs, lw_x, logZ)."""
+        """Bootstrap filter for one θ over ``ys[0..t_mask]`` inclusive;
+        returns (xs, lw_x, logZ). DYNAMIC trip count: inside the
+        rejuvenation cond every θ-lane shares the same ``t_mask`` (the
+        outer scan's step index), so a ``fori_loop`` re-runs exactly
+        ``t_mask`` steps instead of the round-4 full-length masked scan
+        — the PMMH re-run cost drops from O(T) to O(t), halving the
+        average rejuvenation bill."""
         k0, ks = jax.random.split(key)
         xs = init_sampler(k0, theta, n_x)
         lw = loglik(theta, xs, jtu.tree_map(lambda v: v[0], ys))
         logz = logsumexp(lw) - jnp.log(n_x)
-        n_steps = jtu.tree_leaves(ys)[0].shape[0]
 
-        def step(carry, inp):
-            t, y = inp
+        def body(t, carry):
             xs, lw, logz = carry
+            y = jtu.tree_map(lambda v: v[t], ys)
             k_t = jax.random.fold_in(ks, t)
             k_res, k_prop = jax.random.split(k_t)
-            live = t <= t_mask
-            # Single-row sort-based draw: same inversion as the main
-            # loop's batched resample, vmap-friendly under the PMMH
-            # θ-vmap (no scatter, no extra row axis — the row-wrapper
-            # form measured 17 % slower end-to-end, round 3).
-            anc = resample_indices_sorted(
-                k_res, lw, n_x, method=inner_resampling
-            )
-            xs_r = jtu.tree_map(lambda v: v[anc], xs)
+            xs_r = _inner_resample(k_res, lw, xs)
             xs_new = propagate(k_prop, theta, xs_r)
             lw_new = loglik(theta, xs_new, y)
             incr = logsumexp(lw_new) - jnp.log(n_x)
-            xs = jtu.tree_map(
-                lambda new, old: jnp.where(live, new, old), xs_new, xs
-            )
-            lw = jnp.where(live, lw_new, lw)
-            logz = jnp.where(live, logz + incr, logz)
-            return (xs, lw, logz), None
+            return (xs_new, lw_new, logz + incr)
 
-        (xs, lw, logz), _ = lax.scan(
-            step, (xs, lw, logz),
-            (jnp.arange(1, n_steps), jtu.tree_map(lambda v: v[1:], ys)),
-        )
-        return xs, lw, logz
+        return lax.fori_loop(1, t_mask + 1, body, (xs, lw, logz))
 
     def run(key: jax.Array, ys):
         n_steps = jtu.tree_leaves(ys)[0].shape[0]
@@ -205,24 +225,30 @@ def smc2(
             )
 
             # --- advance every inner filter one observation ----------
-            # Row-batched ancestors + one batched key split. (Measured
-            # neutral vs per-row fold_in+split at 1024 θ-rows — XLA
-            # overlaps the key math — kept for the simpler single-key
-            # dataflow; the isolated key-chain cost is ~2.7 ms/step.)
-            anc = resample_indices_rows(
-                k_resx, lw_x, n_x, method=inner_resampling
-            )
+            # Row-batched fused resample (one batched uniform draw, one
+            # interval contraction per state leaf — round 5; the
+            # round-4 sort-merge ancestors + per-row batched gather
+            # measured 15.5 ms/step at 1024x1024, the fused form
+            # 4.9 ms) + one batched key split for propagation.
+            if use_fused:
+                xs_r = resample_values_rows(k_resx, lw_x, xs, n_x)
+            else:
+                anc = resample_indices_rows(
+                    k_resx, lw_x, n_x, method=inner_resampling
+                )
+                xs_r = jax.vmap(
+                    lambda x_j, a_j: jtu.tree_map(lambda v: v[a_j], x_j)
+                )(xs, anc)
             prop_keys = jax.random.split(k_prop, n_theta)
 
-            def advance(kp, th, x_j, anc_j):
-                x_r = jtu.tree_map(lambda v: v[anc_j], x_j)
+            def advance(kp, th, x_r):
                 x_new = propagate(kp, th, x_r)
                 lw_new = loglik(th, x_new, y)
                 incr = logsumexp(lw_new) - jnp.log(n_x)
                 return x_new, lw_new, incr
 
             xs, lw_x, incr = jax.vmap(advance)(
-                prop_keys, thetas, xs, anc
+                prop_keys, thetas, xs_r
             )
             logz_th = logz_th + incr
             w_th = w_th + incr

@@ -392,3 +392,105 @@ class TestRowResampling:
             np.testing.assert_allclose(
                 counts, [0.1, 0.2, 0.3, 0.4], atol=0.01
             )
+
+
+class TestFusedValueResample:
+    """resample_values / resample_values_rows (round 5): the fused
+    interval contraction must reproduce the searchsorted inversion of
+    its own cumulative counts exactly, for 1-D and event-dim leaves,
+    plain and under vmap."""
+
+    def _oracle(self, cc, values):
+        import numpy as np
+
+        cc = np.asarray(cc, np.int64)
+        anc = np.searchsorted(cc, np.arange(len(values)), side="right")
+        return np.asarray(values)[np.clip(anc, 0, len(values) - 1)]
+
+    def test_single_row_matches_counts_oracle(self):
+        import numpy as np
+
+        from genjax_tpu.inference.smc import (
+            _systematic_counts_cum_row,
+            resample_values,
+        )
+
+        for seed, scale in [(0, 1.0), (1, 4.0), (2, 0.1)]:
+            key = jax.random.key(seed)
+            lw = jax.random.normal(jax.random.fold_in(key, 1), (256,)) * scale
+            xs = jax.random.normal(jax.random.fold_in(key, 2), (256,))
+            got = jax.jit(
+                lambda k, w, v: resample_values(k, w, v, 256)
+            )(key, lw, xs)
+            cc = _systematic_counts_cum_row(key, lw, 256)
+            np.testing.assert_array_equal(
+                np.asarray(got), self._oracle(cc, xs)
+            )
+
+    def test_degenerate_weights(self):
+        import numpy as np
+
+        from genjax_tpu.inference.smc import resample_values
+
+        lw = jnp.full((128,), -1e9).at[5].set(0.0)
+        xs = jnp.arange(128.0)
+        got = resample_values(jax.random.key(3), lw, xs, 128)
+        np.testing.assert_array_equal(np.asarray(got), np.full(128, 5.0))
+
+    def test_rows_match_vmapped_single(self):
+        import numpy as np
+
+        from genjax_tpu.inference.smc import (
+            resample_values,
+            resample_values_rows,
+        )
+
+        key = jax.random.key(7)
+        lw = jax.random.normal(jax.random.fold_in(key, 1), (8, 64))
+        xs = jax.random.normal(jax.random.fold_in(key, 2), (8, 64))
+        rows = resample_values_rows(key, lw, xs, 64)
+        assert np.asarray(rows).shape == (8, 64)
+        # Every output value is one of its own row's inputs, and
+        # high-weight particles multiply.
+        xs_np, out_np = np.asarray(xs), np.asarray(rows)
+        for r in range(8):
+            assert set(out_np[r]).issubset(set(xs_np[r]))
+
+    def test_event_dim_leaves_and_tree(self):
+        import numpy as np
+
+        from genjax_tpu.inference.smc import resample_values
+
+        key = jax.random.key(9)
+        lw = jax.random.normal(jax.random.fold_in(key, 1), (64,))
+        tree = {
+            "x": jax.random.normal(jax.random.fold_in(key, 2), (64,)),
+            "v": jax.random.normal(jax.random.fold_in(key, 3), (64, 3)),
+        }
+        out = resample_values(key, lw, tree, 64)
+        from genjax_tpu.inference.smc import _systematic_counts_cum_row
+
+        cc = _systematic_counts_cum_row(key, lw, 64)
+        anc = np.searchsorted(
+            np.asarray(cc, np.int64), np.arange(64), side="right"
+        ).clip(0, 63)
+        np.testing.assert_array_equal(
+            np.asarray(out["x"]), np.asarray(tree["x"])[anc]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["v"]), np.asarray(tree["v"])[anc]
+        )
+
+    def test_vmap_composes(self):
+        from genjax_tpu.inference.smc import resample_values
+
+        keys = jax.random.split(jax.random.key(11), 4)
+        lw = jax.random.normal(jax.random.key(12), (4, 32))
+        xs = jax.random.normal(jax.random.key(13), (4, 32))
+        out = jax.vmap(
+            lambda k, w, v: resample_values(k, w, v, 32)
+        )(keys, lw, xs)
+        assert out.shape == (4, 32)
+        import numpy as np
+
+        assert np.isfinite(np.asarray(out)).all()

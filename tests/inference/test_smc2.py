@@ -76,3 +76,31 @@ class TestSMC2:
         assert res.log_weights.shape == (32,)
         assert res.ess_history.shape == (9,)
         assert jnp.isfinite(res.log_z)
+
+    def test_fused_impl_matches_quadrature(self):
+        """The TPU-default fused inner resampling (inner_impl="fused",
+        round 5) recovers the same grid oracle as the sort path —
+        forced here so CPU CI exercises the accelerator code path."""
+        init, prop, ll, prior_sample, log_prior = _model()
+        run = smc2(init, prop, ll, prior_sample, log_prior,
+                   n_theta=512, n_x=128, proposal=0.15,
+                   inner_impl="fused")
+        res = jax.jit(lambda k: run(k, YS))(jax.random.key(5))
+        mean, std, log_ev = _grid_oracle()
+        w = np.exp(np.asarray(res.log_weights)
+                   - np.max(np.asarray(res.log_weights)))
+        w = w / w.sum()
+        th = np.asarray(res.thetas)
+        got_mean = float((th * w).sum())
+        assert abs(got_mean - mean) < 0.06, (got_mean, mean)
+        assert abs(float(res.log_z) - log_ev) < 1.0, (
+            float(res.log_z), log_ev,
+        )
+
+    def test_bad_inner_impl_raises(self):
+        import pytest
+
+        init, prop, ll, prior_sample, log_prior = _model()
+        with pytest.raises(ValueError, match="inner_impl"):
+            smc2(init, prop, ll, prior_sample, log_prior,
+                 n_theta=8, n_x=8, inner_impl="nope")
