@@ -83,7 +83,10 @@ def config1_sir(small: bool):
 
     # Round-2 sweep: 1024 trials in one vmap costs ~1.7x the wall time
     # of 64 (still latency-bound) -> 1.7x particles/s at equal work.
-    k, trials, reps = (1024, 1024, 4) if not small else (64, 8, 2)
+    # Round 5: 16 folded reps — exp_dispatch_ceiling measured 11.5 ms
+    # device per rep vs 27.5 ms fixed dispatch, so 4 reps paid ~37%
+    # overhead (ceiling 91M particles/s; 4-rep value 57M).
+    k, trials, reps = (1024, 1024, 16) if not small else (64, 8, 2)
     target = Target(bb, (2.0, 2.0), g.C["v"].set(True))
     alg = ImportanceK(target, k_particles=k)
 
@@ -320,16 +323,25 @@ def config5_vi(small: bool):
         v0s = jnp.linspace(0.2, 0.8, fits)
         return jax.vmap(one_fit)(v0s, jax.random.split(key, fits))
 
-    _, dt = _sync_time(run, jax.random.key(0))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    _, _best, times = _sync_time(
+        run, jax.random.key(0), reps=1 if (small or on_cpu) else 5,
+        return_times=True,
+    )
+    dt = sorted(times)[len(times) // 2]
     # Cost model: one ELBO grad sample ~ 600 flops (guide + model fwd
     # and ADEV adjoint over ~6 scalar sites); all state VMEM-resident.
     n_grads = fits * steps * elbo_samples
-    return _roofline({
+    r = _roofline({
         "metric": "adev_vi_mixture_grad_steps_per_s",
         "value": round(fits * steps / dt, 2),
         "unit": "grad-steps/s",
         "vs_baseline": 1.0,
     }, dt, n_grads * 4.0 * 2, n_grads * 600.0)
+    r["value_spread"] = [round(fits * steps / max(times), 2),
+                         round(fits * steps / min(times), 2)]
+    r["n_timed_runs"] = len(times)
+    return r
 
 
 def config6_tempered(small: bool):
@@ -613,9 +625,11 @@ def config9_bnn_vi(small: bool):
         )
         return p
 
-    p, dt = _sync_time(
-        fit, params0, jax.random.key(7), reps=1 if on_cpu else 3
+    p, _best, times = _sync_time(
+        fit, params0, jax.random.key(7), reps=1 if on_cpu else 5,
+        return_times=True,
     )
+    dt = sorted(times)[len(times) // 2]
     # Sanity: the variational mean must have moved off the zero
     # initialization toward the teacher weights.
     moved = float(jnp.mean(jnp.abs(p["mu1"])))
@@ -636,6 +650,9 @@ def config9_bnn_vi(small: bool):
     r["achieved_mxu_frac"] = round(
         total_flops / dt / V5E_MXU_F32_FLOPS, 6
     )
+    r["value_spread"] = [round(steps / max(times), 2),
+                         round(steps / min(times), 2)]
+    r["n_timed_runs"] = len(times)
     return r
 
 
