@@ -306,9 +306,14 @@ def config5_vi(small: bool):
     steps = 100 if not small else 10
     fits = 65536 if not small else 4
     elbo_samples = 8
+    # Round 5: a device profile showed 7.4 ms of compute inside a
+    # ~55 ms wall — the config was ~85% dispatch overhead (which is
+    # also why its value tracked the tunnel's session state). Fold
+    # reps into ONE dispatch like configs 1/3/6.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    reps = 1 if (small or on_cpu) else 8
 
-    @jax.jit
-    def run(key):
+    def one_rep(key):
         def one_fit(v0, fkey):
             def body(v, i):
                 ks = jax.random.split(
@@ -323,12 +328,21 @@ def config5_vi(small: bool):
         v0s = jnp.linspace(0.2, 0.8, fits)
         return jax.vmap(one_fit)(v0s, jax.random.split(key, fits))
 
+    @jax.jit
+    def run(key):
+        def body(c, i):
+            return c + jnp.sum(one_rep(jax.random.fold_in(key, i))), None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(reps))
+        return tot
+
     on_cpu = jax.devices()[0].platform == "cpu"
     _, _best, times = _sync_time(
         run, jax.random.key(0), reps=1 if (small or on_cpu) else 5,
         return_times=True,
     )
     dt = sorted(times)[len(times) // 2]
+    dt = dt / reps
     # Cost model: one ELBO grad sample ~ 600 flops (guide + model fwd
     # and ADEV adjoint over ~6 scalar sites); all state VMEM-resident.
     n_grads = fits * steps * elbo_samples
@@ -338,8 +352,10 @@ def config5_vi(small: bool):
         "unit": "grad-steps/s",
         "vs_baseline": 1.0,
     }, dt, n_grads * 4.0 * 2, n_grads * 600.0)
-    r["value_spread"] = [round(fits * steps / max(times), 2),
-                         round(fits * steps / min(times), 2)]
+    r["value_spread"] = [
+        round(reps * fits * steps / max(times), 2),
+        round(reps * fits * steps / min(times), 2),
+    ]
     r["n_timed_runs"] = len(times)
     return r
 
@@ -623,16 +639,20 @@ def config9_bnn_vi(small: bool):
         (p, _, _), _ = jax.lax.scan(
             body, (params, zeros, zeros), jnp.arange(steps)
         )
-        return p
+        # Reduce ON DEVICE (round 5): returning the 4.2 MB parameter
+        # tree timed its tunnel transfer, not the optimizer — the
+        # transfer throughput varies 3x by session and was the entire
+        # "config 9 session sensitivity" (walls 600 ms vs a 160 ms
+        # compute at 500 steps). The scalar doubles as the sanity
+        # gate: the variational mean must move off zero.
+        return jnp.mean(jnp.abs(p["mu1"]))
 
-    p, _best, times = _sync_time(
+    moved_arr, _best, times = _sync_time(
         fit, params0, jax.random.key(7), reps=1 if on_cpu else 5,
         return_times=True,
     )
     dt = sorted(times)[len(times) // 2]
-    # Sanity: the variational mean must have moved off the zero
-    # initialization toward the teacher weights.
-    moved = float(jnp.mean(jnp.abs(p["mu1"])))
+    moved = float(moved_arr)
     # Cost model: fwd = 2·B·DIN·DH + 2·B·DH; pathwise gradient ≈ 2x fwd
     # (two transposed matmuls) -> ~3x fwd MXU flops per grad step.
     fwd = 2.0 * B * DIN * DH + 2.0 * B * DH
