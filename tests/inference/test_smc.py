@@ -494,3 +494,40 @@ class TestFusedValueResample:
         import numpy as np
 
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_property_counts_conservation(self):
+        """Hypothesis sweep: for random shapes/weights, the fused
+        expansion's output multiset per row equals the systematic
+        offspring counts of its own cc (conservation: every dest
+        assigned exactly once), and total offspring == n."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from genjax_tpu.inference.smc import (
+            _systematic_counts_cum_row,
+            resample_values,
+        )
+
+        @given(st.integers(0, 2**16), st.sampled_from([8, 33, 127, 256]),
+               st.floats(0.1, 8.0))
+        @settings(max_examples=25, deadline=None)
+        def check(seed, k, scale):
+            key = jax.random.key(seed)
+            lw = jax.random.normal(jax.random.fold_in(key, 1), (k,)) * scale
+            xs = jnp.arange(float(k))  # identity payload -> output IS anc
+            anc = np.asarray(
+                resample_values(key, lw, xs, k), np.int64
+            )
+            cc = np.asarray(
+                _systematic_counts_cum_row(key, lw, k), np.int64
+            )
+            counts = np.diff(np.concatenate([[0], cc]))
+            assert counts.sum() == k
+            got_counts = np.bincount(anc, minlength=k)
+            np.testing.assert_array_equal(got_counts, counts)
+            # Ancestors non-decreasing (systematic runs are contiguous).
+            assert (np.diff(anc) >= 0).all()
+
+        check()
