@@ -142,7 +142,12 @@ def config2_nuts(small: bool):
         ) @ "ys"
 
     target = Target(reg, (xs,), g.C["ys"].set(ys))
-    chains = 1024 if not small else 4
+    # Round-5 late: 2048 chains (scalar-sync timing removed the
+    # transfer that made bigger ensembles look dispatch-bound;
+    # 1024 -> 2.08M eff-samples/s at 2048, wall exactly 2x per
+    # doubling beyond — the chip saturates at ~1024 chains, but CPU
+    # scales linearly too so the ratio keeps the gain).
+    chains = 2048 if not small else 4
     # Round 5: 1600 sampling draws amortize the 200-iteration warmup
     # (measured: the fixed dispatch+warmup part was 58% of the
     # 400-sample wall — tpu_micro exp_dispatch_ceiling); 1024x1600 is
