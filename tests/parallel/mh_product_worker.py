@@ -1,7 +1,8 @@
 """Multi-host worker for the PRODUCT entry points (VERDICT r4 item 2):
 ``sharded_smc_step`` (the ``dryrun_multichip`` path), mesh-sharded NUTS
-warmup+sampling (``inference/adaptation.run_nuts``), and the time-sharded
-FFBS (``parallel/seq.time_sharded_filter``) executed across REAL process
+warmup+sampling (``inference/adaptation.run_nuts``), the time-sharded
+FFBS (``parallel/seq.time_sharded_filter``), and particle-sharded SVGD
+(``parallel/svgd.run_sharded_svgd``) executed across REAL process
 boundaries.
 
 Run as ``python mh_product_worker.py <pid> <nproc> <port> <outdir>
@@ -133,6 +134,22 @@ if mode == "all":
     out["ffbs_logz"] = np.asarray(lz)
     assert np.isfinite(out["ffbs_logz"])
     save_sharded("ffbs_alphas", alphas)
+
+    # --- 4. particle-sharded SVGD ------------------------------------
+    from genjax_tpu.parallel.svgd import run_sharded_svgd
+
+    svgd_mesh = Mesh(np.asarray(jax.devices()), ("particles",))
+    xs0 = np.asarray(
+        jax.random.normal(jax.random.key(5), (64, 2))
+    )
+    ens = jax.jit(
+        lambda x: run_sharded_svgd(
+            lambda z: -0.5 * jnp.sum(z * z), x, n_steps=4,
+            step_size=0.1, mesh=svgd_mesh,
+        )
+    )(xs0)
+    jax.block_until_ready(ens)
+    save_sharded("svgd_ens", ens)
 
 np.savez(os.path.join(outdir, f"out_{nproc}p_{pid}.npz"), **out)
 print(f"MH_PRODUCT_OK {pid}", flush=True)

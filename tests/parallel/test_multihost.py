@@ -117,7 +117,8 @@ def _load_run(outdir: str, nproc: int) -> dict:
 def test_product_entry_points_cross_process_match_oracle(tmp_path):
     """VERDICT r4 item 2: the product entry points — sharded_smc_step
     (the dryrun_multichip path, forced resample), mesh-sharded NUTS
-    warmup+sampling, and the time-sharded FFBS — run across REAL
+    warmup+sampling, the time-sharded FFBS, and particle-sharded SVGD
+    — run across REAL
     process boundaries (2 procs x 2 devices; SMC also 4 procs x 1
     device) on the same 4-device global mesh as a single-process
     oracle, and every output is BITWISE identical to it."""
