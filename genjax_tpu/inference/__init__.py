@@ -84,6 +84,8 @@ from genjax_tpu.inference.smc import (
     SMCAlgorithm,
     effective_sample_size,
     resample_indices,
+    resample_values,
+    resample_values_rows,
 )
 
 __all__ = [
@@ -157,4 +159,6 @@ __all__ = [
     "effective_sample_size",
     "marginal",
     "resample_indices",
+    "resample_values",
+    "resample_values_rows",
 ]
