@@ -48,6 +48,10 @@ def ess_autocorr(samples: jax.Array, max_lag: int | None = None) -> jax.Array:
     if max_lag is None:
         max_lag = min(n - 2, 1000)
     max_lag = max_lag if max_lag % 2 == 1 else max_lag - 1  # odd: full pairs
+    if max_lag < 1:
+        # Too few draws for any autocorrelation estimate (n <= 2, or an
+        # explicit max_lag <= 0): τ = 1, i.e. treat draws as independent.
+        return jnp.full(samples.shape[2:], float(c * n))
     centered = samples - jnp.mean(samples, axis=1, keepdims=True)
     var = jnp.mean(jnp.var(samples, axis=1, ddof=1), axis=0)
 

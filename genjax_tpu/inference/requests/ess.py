@@ -132,7 +132,10 @@ def _check_gaussian_sites(tr, sel, path=()):
                 "distribution — the elliptical slice transition is only "
                 "valid for (conditionally) Gaussian priors "
                 f"({', '.join(sorted(_GAUSSIAN_SITES))}). Select only "
-                "Gaussian sites, or use Regenerate/HMC for this one."
+                "Gaussian sites, use Regenerate/HMC for this one, or — "
+                "if the site IS a custom Gaussian density the name "
+                "check cannot recognize — pass "
+                "EllipticalSlice(..., check_gaussian=False)."
             )
         return
     if isinstance(tr, StaticTrace):
@@ -148,15 +151,22 @@ class EllipticalSlice(EditRequest):
     unselected choices (enforced at probe time by
     :func:`_check_gaussian_sites` for plain ``@gen`` nesting). The
     returned edit weight is 0 (ESS leaves the posterior invariant;
-    under ``mh`` it always accepts)."""
+    under ``mh`` it always accepts).
+
+    ``check_gaussian=False`` skips the probe-time site check — the
+    escape hatch for CUSTOM Gaussian densities (``exact_density``
+    wrappers the name whitelist cannot recognize); the Gaussian-prior
+    contract itself still applies."""
 
     selection: Selection
     prior_mean: Any = 0.0
     max_iters: int = Pytree.static(default=64)
+    check_gaussian: bool = Pytree.static(default=True)
 
     def edit(self, key: jax.Array, tr: Trace[Any], argdiffs: Argdiffs):
         assert Diff.static_check_no_change(argdiffs)
-        _check_gaussian_sites(tr, self.selection)
+        if self.check_gaussian:
+            _check_gaussian_sites(tr, self.selection)
         args = Diff.tree_primal(argdiffs)
         chm = tr.get_choices()
         selected = chm.filter(self.selection)
@@ -199,5 +209,6 @@ class EllipticalSlice(EditRequest):
             up_key, tr, argdiffs
         )
         return new_tr, jnp.zeros(()), retdiff, EllipticalSlice(
-            self.selection, self.prior_mean, self.max_iters
+            self.selection, self.prior_mean, self.max_iters,
+            self.check_gaussian,
         )

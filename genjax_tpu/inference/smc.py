@@ -330,11 +330,34 @@ def _interval_expand_row(cc: jax.Array, values_row: jax.Array,
     ii = jnp.arange(n, dtype=cc.dtype)
     ccm1 = jnp.concatenate([jnp.zeros((1,), cc.dtype), cc[:-1]])
     m = (ccm1[None, :] <= ii[:, None]) & (ii[:, None] < cc[None, :])
-    zero = jnp.zeros((), values_row.dtype)
+    # bool leaves sum-promote to int32; widen, reduce, cast back —
+    # exact for every dtype since each dest sums exactly one source.
+    orig = values_row.dtype
+    vr = (values_row.astype(jnp.int32)
+          if orig == jnp.bool_ else values_row)
+    zero = jnp.zeros((), vr.dtype)
     # Event dims (values_row (K, ...)) broadcast through the same mask;
     # the reduce fusion's flops scale with the event size.
-    m = m.reshape(m.shape + (1,) * (values_row.ndim - 1))
-    return jnp.sum(jnp.where(m, values_row[None], zero), axis=1)
+    m = m.reshape(m.shape + (1,) * (vr.ndim - 1))
+    return jnp.sum(jnp.where(m, vr[None], zero), axis=1).astype(orig)
+
+
+#: resample_values' O(n·K) interval contraction is the measured winner
+#: at row scale (~1024 lanes) but quadratically worse than the blocked
+#: O(n) expansion for flat ensembles; 2^28 pairs (~1-2 ms of VPU
+#: compare/select on TPU, disastrous on CPU) is the accidental-misuse
+#: line — the headline 2^20-particle ensemble squared is 2^40.
+_ROW_SCALE_MAX_PAIRS = 1 << 28
+
+
+def _check_row_scale(k: int, n: int) -> None:
+    if k * n > _ROW_SCALE_MAX_PAIRS:
+        raise ValueError(
+            f"resample_values: {k} sources x {n} dests = {k * n:,} "
+            "interval-compare pairs — this fused form is for ROW-scale "
+            "ensembles (inner filters, ~1024 lanes); use resample_tree "
+            "(blocked O(n) expansion) for flat ensembles."
+        )
 
 
 def _systematic_counts_cum_row(key: jax.Array, log_weights: jax.Array,
@@ -365,7 +388,13 @@ def resample_values(key: jax.Array, log_weights: jax.Array, values,
     elementwise/reduce, so the function vmaps over θ-lanes with no
     batched-gather lowering. Same grid-offset draw (one uniform) and
     the same owner convention as :func:`resample_indices_sorted` up to
-    f32 boundary ties."""
+    f32 boundary ties.
+
+    Row scale ONLY: the contraction is O(n·K) compare/select pairs per
+    leaf, the right trade below ~1024-lane rows but quadratically wrong
+    for flat ensembles — a size guard raises and points at
+    :func:`resample_tree` (the blocked O(n) expansion) instead."""
+    _check_row_scale(log_weights.shape[-1], n)
     cc = _systematic_counts_cum_row(key, log_weights, n)
     return jtu.tree_map(
         lambda v: _interval_expand_row(cc, v, n), values
@@ -376,7 +405,9 @@ def resample_values_rows(key: jax.Array, log_weights: jax.Array,
                          values, n: int):
     """Row-batched :func:`resample_values`: ``(R, K)`` log-weights and
     value leaves → ``(R, n)`` resampled values, one uniform per row
-    from a single batched draw (the SMC² advance-step primitive)."""
+    from a single batched draw (the SMC² advance-step primitive).
+    Row-scale guard as in :func:`resample_values` (per row)."""
+    _check_row_scale(log_weights.shape[-1], n)
     r = log_weights.shape[0]
     mx = jnp.max(log_weights, axis=1, keepdims=True)
     cum = jax.lax.cummax(

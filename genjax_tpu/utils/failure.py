@@ -133,9 +133,11 @@ class FailureEvent:
     """One detected failure and what recovery did about it."""
 
     step: int                 # global step index at which the chunk began
-    kind: str                 # "nonfinite" | "exception" | "hang"
+    kind: str                 # "nonfinite" | "exception" | "hang" |
+                              # "recovery_failed"
     detail: str
-    resumed_from: int         # global step index of the restored checkpoint
+    resumed_from: int         # global step index of the restored
+                              # checkpoint (-1: recovery itself failed)
     n_devices: int            # healthy device count after recovery
 
 
@@ -250,16 +252,32 @@ def run_elastic(
                 f"run_elastic: giving up after {max_retries} retries "
                 f"({kind} at step {i}: {detail})"
             )
-        devs = devices()
-        # Restore INTO the healthy topology: the template is re-placed
-        # first, so a sharding-aware backend (Orbax) reads the
-        # checkpoint straight into the surviving devices' layout — on a
-        # real slice the failed chip may not even be addressable, so
-        # restoring into the original sharding is not an option. The
-        # second ``place`` runs the user hook on the restored VALUES
-        # (e.g. clearing a transient-fault flag).
-        at, restored = _restore(place(template, devs))
-        state = place(restored, devs)
+        # Restore INTO the healthy topology: a metadata-only stand-in
+        # for the template (zeros with the template's shapes/dtypes —
+        # shape/dtype reads never touch device data, so nothing is
+        # read from a possibly-dead chip) is re-placed first, so a
+        # sharding-aware backend (Orbax) reads the checkpoint straight
+        # into the surviving devices' layout. The second ``place`` runs
+        # the user hook on the restored VALUES (e.g. clearing a
+        # transient-fault flag). Recovery itself is guarded: a failure
+        # here (checkpoint unreadable, devices vanishing mid-restore)
+        # counts against ``max_retries`` instead of escaping.
+        try:
+            devs = devices()
+            meta = jtu.tree_map(
+                lambda v: jnp.zeros(jnp.shape(v),
+                                    jnp.result_type(v)),
+                template,
+            )
+            at, restored = _restore(place(meta, devs))
+            state = place(restored, devs)
+        except Exception as e:
+            result.events.append(FailureEvent(
+                step=i, kind="recovery_failed",
+                detail=f"{type(e).__name__}: {e}",
+                resumed_from=-1, n_devices=-1,
+            ))
+            continue
         result.events.append(FailureEvent(
             step=i, kind=kind, detail=detail,
             resumed_from=at, n_devices=len(devs),

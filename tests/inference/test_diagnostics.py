@@ -127,3 +127,17 @@ class TestSummarize:
         out = summarize(s)
         for k in ("mean", "std", "rhat", "ess"):
             assert np.asarray(out[k]).shape == (3,), k
+
+
+class TestShortChains:
+    def test_two_draws_no_crash(self):
+        """Review r5: n<=2 has no estimable autocorrelation — tau=1."""
+        s = jax.random.normal(KEY, (4, 2))
+        assert float(ess_autocorr(s)) == 8.0
+        out = summarize(s)
+        assert float(out["ess"]) == 8.0
+
+    def test_explicit_zero_max_lag(self):
+        s = jax.random.normal(KEY, (4, 100, 2))
+        e = np.asarray(ess_autocorr(s, max_lag=0))
+        np.testing.assert_array_equal(e, np.full(2, 400.0))

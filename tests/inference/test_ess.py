@@ -170,3 +170,38 @@ class TestGaussianGuard:
         req = EllipticalSlice(g.Selection.at["mu"])
         new_tr, w, _rd, _bwd = tr.edit(jax.random.fold_in(KEY, 2), req)
         assert float(w) == 0.0
+
+    def test_check_gaussian_escape_hatch(self):
+        """Review r5: a custom Gaussian density (name unknown to the
+        whitelist) needs check_gaussian=False to run — and then the
+        chain still targets the right posterior."""
+        import pytest
+
+        my_normal = g.exact_density(
+            lambda key, mu, sigma: mu + sigma * jax.random.normal(key),
+            lambda v, mu, sigma: jax.scipy.stats.norm.logpdf(
+                v, mu, sigma
+            ),
+            "my_normal",
+        )
+
+        @g.gen
+        def model():
+            mu = my_normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        target = Target(model, (), g.C["y"].set(1.0))
+        tr, _ = target.importance(KEY, g.ChoiceMap.empty())
+        with pytest.raises(ValueError, match="my_normal"):
+            tr.edit(KEY, EllipticalSlice(g.Selection.at["mu"]))
+        req = EllipticalSlice(
+            g.Selection.at["mu"], check_gaussian=False
+        )
+
+        def step(tr, key):
+            new_tr, _ = mh(key, tr, req)
+            return new_tr, new_tr.get_choices()["mu"]
+
+        _, mus = jax.lax.scan(step, tr, jax.random.split(KEY, 2500))
+        mus = np.asarray(mus)[500:]
+        assert abs(mus.mean() - 0.8) < 0.06

@@ -531,3 +531,44 @@ class TestFusedValueResample:
             assert (np.diff(anc) >= 0).all()
 
         check()
+
+    def test_bool_leaf_preserves_dtype(self):
+        """Review r5: sum-based select must not promote bool leaves —
+        the SMC2 fused path carries regime flags through scan carries,
+        where an int32 output breaks the carry dtype contract."""
+        import numpy as np
+
+        from genjax_tpu.inference.smc import resample_values
+
+        lw = jnp.zeros(32)
+        tree = {"x": jnp.arange(32.0),
+                "flag": jnp.arange(32) % 2 == 0,
+                "count": jnp.arange(32, dtype=jnp.int16)}
+        out = resample_values(jax.random.key(0), lw, tree, 32)
+        assert out["flag"].dtype == jnp.bool_
+        assert out["count"].dtype == jnp.int16
+        assert out["x"].dtype == jnp.float32
+        # Uniform weights, systematic: identity permutation.
+        np.testing.assert_array_equal(
+            np.asarray(out["flag"]), np.asarray(tree["flag"])
+        )
+
+    def test_row_scale_guard(self):
+        import pytest
+
+        from genjax_tpu.inference.smc import (
+            resample_values,
+            resample_values_rows,
+        )
+
+        big = 1 << 15
+        with pytest.raises(ValueError, match="ROW-scale"):
+            resample_values(
+                jax.random.key(0), jnp.zeros(big),
+                jnp.zeros(big), big,
+            )
+        with pytest.raises(ValueError, match="ROW-scale"):
+            resample_values_rows(
+                jax.random.key(0), jnp.zeros((2, big)),
+                jnp.zeros((2, big)), big,
+            )

@@ -339,3 +339,23 @@ class TestCrossTopologyElastic:
             np.testing.assert_array_equal(
                 np.asarray(res.state[k]), np.asarray(oracle.state[k])
             )
+
+
+class TestRecoveryGuard:
+    def test_recovery_failure_counts_as_retry(self, tmp_path):
+        """Review r5: a failing place() hook (checkpoint unreadable,
+        devices vanishing mid-restore) must count against max_retries
+        and surface as a 'recovery_failed' event — not escape."""
+        calls = {"n": 0}
+
+        def bad_place(state, devs):
+            calls["n"] += 1
+            raise OSError("checkpoint store unreachable")
+
+        with pytest.raises(RuntimeError, match="giving up"):
+            run_elastic(
+                lambda i, s: s + jnp.nan, jnp.ones(4), 8,
+                ckpt_path=str(tmp_path / "ck.npz"),
+                chunk=4, max_retries=2, place=bad_place,
+            )
+        assert calls["n"] >= 1
