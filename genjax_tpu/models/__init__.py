@@ -11,8 +11,15 @@ from genjax_tpu.models.ssm import (
 from genjax_tpu.models.regression import hierarchical_regression
 from genjax_tpu.models.mixture import gaussian_mixture
 from genjax_tpu.models.hmm import hmm_bootstrap_filter, hmm_model
+from genjax_tpu.models.slds import (
+    SLDSParams,
+    simulate_slds_data,
+    slds_exact_log_marginal,
+    slds_rbpf,
+)
 
 __all__ = [
+    "SLDSParams",
     "gaussian_mixture",
     "hierarchical_regression",
     "hmm_bootstrap_filter",
@@ -23,4 +30,7 @@ __all__ = [
     "simulate_lgssm_data",
     "lgssm_model",
     "nonlinear_tracking_model",
+    "simulate_slds_data",
+    "slds_exact_log_marginal",
+    "slds_rbpf",
 ]
