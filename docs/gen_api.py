@@ -63,6 +63,8 @@ MODULES = [
     ("genjax_tpu.inference.predictive", "Posterior predictive sampling"),
     ("genjax_tpu.inference.enumerative", "Exact enumerative posteriors"),
     ("genjax_tpu.inference.diagnostics", "Convergence diagnostics"),
+    ("genjax_tpu.models", "Model families with exact oracles"),
+    ("genjax_tpu.models.slds", "Switching LDS + Rao-Blackwellized PF"),
     ("genjax_tpu.compat", "Reference-migration shims"),
 ]
 
