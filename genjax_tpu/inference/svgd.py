@@ -74,23 +74,28 @@ def _rbf_phi(xs: jax.Array, grads: jax.Array,
     """SVGD update direction for an RBF kernel, fully matrix-form.
 
     ``xs``: (N, D) particles; ``grads``: (N, D) score gradients.
-    Returns (N, D) phi. ``h_rows``: take the bandwidth median over only
-    the leading ``h_rows`` × ``h_rows`` block of the distance matrix —
-    the full median sorts all N² entries (the dominant cost past a few
-    thousand particles; a round-5 on-chip profile of the 4096-particle
-    benchmark showed the per-step ``jnp.median`` SORT at 94% of device
-    time even over a 256-ROW slab, because 256×N is still 1M entries)
-    while a square subsample of pairwise distances among exchangeable
-    particles is statistically indistinguishable; ``None`` keeps the
-    exact median."""
+    Returns (N, D) phi. ``h_rows``: take the bandwidth median over a
+    STRIDED ``~h_rows × ~h_rows`` square subsample of the distance
+    matrix — the full median sorts all N² entries (the dominant cost
+    past a few thousand particles; a round-5 on-chip profile of the
+    4096-particle benchmark showed the per-step ``jnp.median`` SORT at
+    94% of device time even over a 256-ROW slab, because 256×N is
+    still 1M entries). Every ``n//h_rows``-th particle is sampled, so
+    the subset spans the ensemble regardless of particle ORDERING (a
+    leading block would collapse the bandwidth for clustered inits,
+    e.g. per-mode concatenations); for i.i.d.-shuffled particles it is
+    the same statistic. ``None`` keeps the exact median."""
     n = xs.shape[0]
     # Pairwise squared distances via the Gram matrix (one MXU matmul).
     sq_norms = jnp.sum(xs * xs, axis=1)
     d2 = sq_norms[:, None] - 2.0 * xs @ xs.T + sq_norms[None, :]
     d2 = jnp.maximum(d2, 0.0)
     # Median heuristic: h = med^2 / log(N + 1).
-    m = n if h_rows is None else min(h_rows, n)
-    med2 = jnp.median(d2 if h_rows is None else d2[:m, :m])
+    if h_rows is None:
+        med2 = jnp.median(d2)
+    else:
+        stride = max(1, n // min(h_rows, n))
+        med2 = jnp.median(d2[::stride, ::stride])
     h = jnp.maximum(med2 / jnp.log(n + 1.0), 1e-6)
     k = jnp.exp(-d2 / h)                                   # (N, N)
     # grad_{x_j} k(x_j, x_i) = (2/h) k_ji (x_i - x_j); summed over j:

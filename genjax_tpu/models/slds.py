@@ -65,12 +65,21 @@ class RBPFResult(NamedTuple):
     means: jax.Array          # (n,) final Kalman means per particle
     variances: jax.Array      # (n,) final Kalman variances per particle
     log_weights: jax.Array    # (n,) final normalized-ish log-weights
-    ess_history: jax.Array    # (T,) ESS before each adaptive resample
+    ess_history: jax.Array    # (T,) ESS after assimilating y_t, t=0..T-1
 
 
 def simulate_slds_data(key: jax.Array, params: SLDSParams, n_steps: int):
-    """Sample ``(zs, xs, ys)`` from the model (for tests/demos)."""
+    """Sample ``(zs, xs, ys)`` from the model — the SAME generative
+    convention :func:`slds_rbpf` and :func:`slds_exact_log_marginal`
+    score: ``y_0`` is emitted from the PRIOR regime ``z_0`` and
+    ``x_0 ~ N(mu0, p0)`` (no transition/dynamics before the first
+    observation); transitions apply from ``t = 1``. ``zs[t]`` is the
+    regime the filter's step-``t`` statistics condition on."""
     kz, kx, ky = jax.random.split(key, 3)
+
+    z0 = jax.random.categorical(kz, params.prior_logits)
+    x0 = params.mu0 + jnp.sqrt(params.p0) * jax.random.normal(kx)
+    y0 = x0 + jnp.sqrt(params.r[z0]) * jax.random.normal(ky)
 
     def step(carry, ks):
         z, x = carry
@@ -82,15 +91,25 @@ def simulate_slds_data(key: jax.Array, params: SLDSParams, n_steps: int):
         y = x + jnp.sqrt(params.r[z]) * jax.random.normal(ky_t)
         return (z, x), (z, x, y)
 
-    z0 = jax.random.categorical(kz, params.prior_logits)
-    x0 = params.mu0 + jnp.sqrt(params.p0) * jax.random.normal(kx)
     keys = (
-        jax.random.split(jax.random.fold_in(kz, 1), n_steps),
-        jax.random.split(jax.random.fold_in(kx, 1), n_steps),
-        jax.random.split(ky, n_steps),
+        jax.random.split(jax.random.fold_in(kz, 1), n_steps - 1),
+        jax.random.split(jax.random.fold_in(kx, 1), n_steps - 1),
+        jax.random.split(jax.random.fold_in(ky, 1), n_steps - 1),
     )
     _, (zs, xs, ys) = lax.scan(step, (z0, x0), keys)
-    return zs, xs, ys
+    cat = lambda h, t: jnp.concatenate([jnp.asarray(h)[None], t])
+    return cat(z0, zs), cat(x0, xs), cat(y0, ys)
+
+
+def _kalman_init(mu0, p0, y, r_z):
+    """Condition the ``x_0 ~ N(mu0, p0)`` prior on ``y = x_0 + noise``:
+    returns the posterior ``(mu, p)`` and the predictive
+    log-likelihood of ``y`` (shared by the filter and the exact
+    oracle so the t=0 convention cannot diverge)."""
+    s0 = p0 + r_z
+    ll = -0.5 * (jnp.log(2.0 * jnp.pi * s0) + (y - mu0) ** 2 / s0)
+    k0 = p0 / s0
+    return mu0 + k0 * (y - mu0), (1.0 - k0) * p0, ll
 
 
 def _kalman_step(mu, p, y, a_z, q_z, r_z):
@@ -151,13 +170,8 @@ def slds_rbpf(
         # Initial step uses the x_0 prior directly (no dynamics yet):
         # y_0 = x_0 + noise with x_0 ~ N(mu0, p0).
         r_z = take_elems(params.r, zs)
-        s0 = params.p0 + r_z
-        ll0 = -0.5 * (
-            jnp.log(2.0 * jnp.pi * s0) + (ys[0] - params.mu0) ** 2 / s0
-        )
-        k0 = params.p0 / s0
-        mus = params.mu0 + k0 * (ys[0] - params.mu0)
-        ps = (1.0 - k0) * jnp.full((n_particles,), params.p0)
+        mus, ps, ll0 = _kalman_init(params.mu0, params.p0, ys[0], r_z)
+        ps = ps * jnp.ones((n_particles,))
         lw = ll0
         log_z = logsumexp(lw) - log_n
         lw = lw - logsumexp(lw) + 0.0  # keep normalized-ish
@@ -209,8 +223,11 @@ def slds_rbpf(
             (zs, mus, ps, lw, log_z),
             (jnp.arange(1, n_steps), ys[1:]),
         )
+        # The scan's per-step ESS is measured BEFORE assimilating y_t,
+        # i.e. after y_{t-1}: together with the final-weights ESS this
+        # gives "ESS after assimilating y_t" for every t = 0..T-1.
         ess_hist = jnp.concatenate(
-            [jnp.full((1,), float(n_particles)), ess_hist]
+            [ess_hist, effective_sample_size(lw)[None]]
         )
         return RBPFResult(log_z, zs, mus, ps, lw, ess_hist)
 
@@ -236,14 +253,9 @@ def slds_exact_log_marginal(params: SLDSParams, ys: jax.Array):
         )
 
         # Conditional Kalman evidence along the path.
-        r0 = params.r[path[0]]
-        s0 = params.p0 + r0
-        ll = -0.5 * (
-            jnp.log(2.0 * jnp.pi * s0) + (ys[0] - params.mu0) ** 2 / s0
+        mu, p, ll = _kalman_init(
+            params.mu0, params.p0, ys[0], params.r[path[0]]
         )
-        k0 = params.p0 / s0
-        mu = params.mu0 + k0 * (ys[0] - params.mu0)
-        p = (1.0 - k0) * params.p0
 
         def step(carry, inp):
             mu, p, acc = carry

@@ -14,15 +14,19 @@ device:
 
 Bandwidth: the median heuristic needs a quantile of all N² pairwise
 distances, which would be an O(N²) distributed selection. Instead the
-bandwidth comes from a FIXED-SIZE row subsample of the gathered
-positions (``h_rows`` × N distances, replicated computation on
-replicated data) — deterministic, identical on every device and under
-every mesh layout, and statistically indistinguishable from the full
-median for ensembles past a few hundred particles.
+bandwidth comes from a FIXED-SIZE strided-square subsample of the
+gathered positions (every ``n//h_rows``-th particle, ~``h_rows``²
+distances, replicated computation on replicated data) — deterministic,
+identical on every device and under every mesh layout,
+ordering-robust (the stride spans the ensemble even for clustered
+particle inits), and statistically indistinguishable from the full
+median for ensembles past a few hundred particles (round 5: the
+earlier ``h_rows`` × N slab kept a 1M-entry sort in every step — 94 %
+of the benchmark's device time).
 
 Layout independence: every float reduction has a layout-independent
 extent (D for pairwise distances, N for the kernel contractions,
-h_rows·N for the bandwidth), so the update is bitwise identical across
+~h_rows² for the bandwidth), so the update is bitwise identical across
 1/2/4/8-device meshes (pinned in ``tests/parallel/test_sharded_svgd.py``,
 the same contract as ``parallel/collectives.py``).
 
@@ -45,12 +49,17 @@ __all__ = ["sharded_svgd_step", "run_sharded_svgd"]
 def _phi_block(xs_loc, grads_loc, xs_all, grads_all, h_rows):
     """Local rows of the SVGD direction, given gathered (N, D) arrays."""
     n = xs_all.shape[0]
-    # Bandwidth from a fixed-size replicated SQUARE subsample (see
-    # module doc; round 5: the h_rows × N slab still put a 1M-entry
-    # sort in every step — 94% of the unsharded benchmark's device
-    # time — while pairwise distances among h_rows exchangeable
-    # particles are the same statistic at h_rows² entries).
-    rows = xs_all[:h_rows]
+    # Bandwidth from a fixed-size replicated STRIDED-square subsample
+    # (see module doc; round 5: the h_rows × N slab still put a
+    # 1M-entry sort in every step — 94% of the unsharded benchmark's
+    # device time — while pairwise distances among ~h_rows particles
+    # sampled every n//h_rows-th are the same statistic at h_rows²
+    # entries AND ordering-robust: a leading block would collapse the
+    # bandwidth when the caller's xs0 is clustered, e.g. per-mode
+    # concatenations). Computed on the replicated gathered array, so
+    # it stays bitwise identical on every device.
+    stride = max(1, n // min(h_rows, n))
+    rows = xs_all[::stride]
     d2_sub = jnp.sum(
         (rows[:, None, :] - rows[None, :, :]) ** 2, axis=-1
     )

@@ -124,3 +124,36 @@ class TestDiscreteGuard:
         )
         chm = run_svgd(target, KEY, n_particles=32, n_steps=50)
         assert np.isfinite(np.asarray(chm["mu"])).all()
+
+
+class TestBandwidthSubsample:
+    def test_clustered_ordering_robust(self):
+        """Review r5: the bandwidth subsample is STRIDED, so an xs
+        whose leading block is one tight cluster (per-mode
+        concatenation) must not collapse h — the strided median stays
+        within a factor of the exact one and repulsion survives."""
+        k1, k2 = jax.random.split(jax.random.key(31))
+        # Two well-separated clusters, CONCATENATED (ordered).
+        a = -5.0 + 0.01 * jax.random.normal(k1, (512, 2))
+        b = 5.0 + 0.01 * jax.random.normal(k2, (512, 2))
+        xs = jnp.concatenate([a, b])
+        grads = jnp.zeros_like(xs)
+        phi_exact = _rbf_phi(xs, grads, h_rows=None)
+        phi_sub = _rbf_phi(xs, grads, h_rows=64)
+        # With zero score gradients phi is pure repulsion; a collapsed
+        # bandwidth would zero it out. Require the subsampled phi to
+        # stay within 2x of the exact-median repulsion magnitude.
+        m_exact = float(jnp.abs(phi_exact).mean())
+        m_sub = float(jnp.abs(phi_sub).mean())
+        assert m_sub > 0.5 * m_exact, (m_sub, m_exact)
+
+    def test_iid_subsample_close_to_exact(self):
+        xs = jax.random.normal(jax.random.key(32), (1024, 4))
+        grads = jax.random.normal(jax.random.key(33), (1024, 4))
+        p1 = np.asarray(_rbf_phi(xs, grads, h_rows=None))
+        p2 = np.asarray(_rbf_phi(xs, grads, h_rows=128))
+        # Same statistic, different sample: directions nearly equal.
+        cos = (p1 * p2).sum() / (
+            np.linalg.norm(p1) * np.linalg.norm(p2)
+        )
+        assert cos > 0.99, cos
