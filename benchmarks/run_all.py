@@ -708,7 +708,12 @@ def config10_svgd(small: bool):
     elif on_cpu:
         parts, steps = 4096, 20
     else:
-        parts, steps = 4096, 300
+        # 600 steps (round 5): with the square-subsample bandwidth the
+        # per-step cost dropped ~13x, and the A/B showed 300 steps is
+        # marginal for the convergence gate with ANY bandwidth
+        # estimator (exact median: err 0.042 at 300, 0.004 at 600;
+        # strided: 0.040 / 0.002) — per-unit throughput is unchanged.
+        parts, steps = 4096, 600
 
     kx = jax.random.key(10)
     X = jax.random.normal(kx, (B, D)) / jnp.sqrt(float(D))
