@@ -184,11 +184,27 @@ class Switch(GenerativeFunction[Any]):
         if not Diff.static_check_no_change(idx_diff):
             if isinstance(request, Regenerate):
                 # Index change + Regenerate: the new branch is freshly
-                # simulated anyway — equivalent to an unconstrained Update.
-                new_tr, w, rd, _bwd = self._edit_index_change(
+                # simulated (an unconstrained generate). SMCP3
+                # bookkeeping with the SELF-INVERSE kernel (bwd is the
+                # same Regenerate, whose reverse move resamples the old
+                # branch from ITS prior): the fresh branch's density is
+                # exactly the forward proposal density and the old
+                # branch's exactly the backward one, so they cancel and
+                # the switch subtree contributes ZERO —
+                #   w = [p(new) + q_bwd(old)] − [p(old) + q_fwd(new)]
+                #     = (s_new + s_old) − (s_old + s_new) = 0.
+                # Round-5 property-audit fix: the previous Δscore
+                # weight made `mh` over traced-index switches accept
+                # greedily toward higher-density branches (measured
+                # +0.10 posterior bias on a two-branch conjugate
+                # model); downstream-likelihood deltas — the true MH
+                # alpha — are contributed by the enclosing handler's
+                # rescoring of dependent sites.
+                new_tr, _w, rd, _bwd = self._edit_index_change(
                     key, trace, Update(ChoiceMap.empty()), args
                 )
-                return new_tr, w, rd, Update(trace.get_choices())
+                return (new_tr, jnp.zeros(()), rd,
+                        Regenerate(request.selection))
             return self._edit_index_change(key, trace, request, args)
         # tree_tangent JOINS all branch-arg tangents into one coarse
         # ChangeTangent (sound: NoChange only if everything is unchanged).
@@ -235,29 +251,29 @@ class Switch(GenerativeFunction[Any]):
                            request: "Update", args: tuple):
         new_idx, branch_args = self._split_args(args)
 
-        reqs = [
-            Update(v) for v in self._branch_views(request.constraint)
-        ]
+        views = self._branch_views(request.constraint)
 
         fs = []
-        for b, breq in zip(self.branches, reqs):
-            def f(key, a, _b=b, _req=breq):
-                sim_key, edit_key = jax.random.split(key)
-                new_tr = _b.simulate(sim_key, a)
-                edited, w, _rd, _bwd = _b.edit(
-                    edit_key, new_tr, _req, Diff.no_change(a)
-                )
-                return edited, w
+        for b, view in zip(self.branches, views):
+            def f(key, a, _b=b, _view=view):
+                new_tr, _w = _b.generate(key, _view, a)
+                return (new_tr,)
             fs.append(f)
 
         arg_tuples = [(key, a) for a in branch_args]
         outs = multi_switch(new_idx, fs, arg_tuples)
-        subtraces = [tr for tr, _ in outs]
-        w_edit = tree_choose(new_idx, [w for _, w in outs])
+        subtraces = [tr for (tr,) in outs]
         new_trace = self._build(args, subtraces)
         # Full score delta: the new branch's choices replace the old
-        # branch's entirely (reference switch.py:289-293).
-        weight = w_edit + new_trace.get_score() - trace.get_score()
+        # branch's entirely (reference switch.py:289-293 and the pinned
+        # ``w == Δscore`` contract in test_combinators.py). Round-5
+        # property-test fix: the previous simulate-then-edit form added
+        # the edit weight relative to the DISCARDED fresh simulation —
+        # pure auxiliary machinery that double-counted constrained
+        # sites (an identity Update through a traced-index switch
+        # returned a random nonzero weight). ``generate`` constrains
+        # directly; the weight is the score delta alone.
+        weight = new_trace.get_score() - trace.get_score()
         retdiff = Diff.unknown_change(new_trace.get_retval())
         bwd = Update(trace.get_choices())
         return new_trace, weight, retdiff, bwd

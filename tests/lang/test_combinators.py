@@ -577,18 +577,28 @@ class TestSwitchIndexChangeRegenerate:
         y = new_tr.get_choices()["y"]
         y = y.unmask() if isinstance(y, g.Mask) else y
         assert y > 4.0
-        assert jnp.allclose(
-            w, new_tr.get_score() - tr.get_score(), atol=1e-5
-        )
-        # bwd restores the old branch:
+        # Round 5: the switch subtree contributes ZERO — the fresh
+        # branch's density is the forward proposal density and the old
+        # branch's the backward one, cancelling exactly (the previous
+        # Dscore weight made mh() greedy toward higher-density
+        # branches; +0.10 measured posterior bias). Downstream
+        # likelihood deltas come from the enclosing handler.
+        assert jnp.allclose(w, 0.0, atol=1e-6)
+        # bwd is the self-inverse Regenerate: replaying it lands back
+        # on branch 0 with FRESH values (a kernel, not a restore).
+        assert isinstance(bwd, g.Regenerate)
         back_diffs = (
             g.Diff(0, g.UnknownChange),
             g.Diff((), g.NoChange),
             g.Diff((), g.NoChange),
         )
-        back_tr, _, _, _ = sw.edit(jax.random.key(2), new_tr, bwd,
-                                   back_diffs)
-        assert jnp.allclose(back_tr.get_score(), tr.get_score(), atol=1e-5)
+        back_tr, w_b, _, _ = sw.edit(jax.random.key(2), new_tr, bwd,
+                                     back_diffs)
+        assert jnp.allclose(w_b, 0.0, atol=1e-6)
+        x_back = back_tr.get_choices()["x"]
+        x_back = (x_back.unmask()
+                  if isinstance(x_back, g.Mask) else x_back)
+        assert abs(float(x_back)) < 5.0  # branch 0 again
 
     def test_traced_index_inner_trace(self):
         @g.gen
@@ -877,3 +887,55 @@ class TestScanIndexRequestGenericSubrequest:
         score, _ = sc.assess(new_tr.get_choices(), new_tr.get_args())
         assert jnp.allclose(score, new_tr.get_score(), atol=1e-5)
         assert bool(jnp.isfinite(w))
+
+
+class TestSwitchIndexMHPosterior:
+    def test_mh_over_traced_index_matches_quadrature(self):
+        """Round-5 property-audit find: MH regenerating a traced switch
+        index (cross-branch moves) must target the exact posterior —
+        the pre-fix Δscore alpha measured +0.10 bias toward the
+        higher-density branch on this conjugate model."""
+        import numpy as np
+
+        from genjax_tpu.inference import Target, mh
+
+        @g.gen
+        def b0():
+            return g.normal(0.0, 1.0) @ "v"
+
+        @g.gen
+        def b1():
+            return g.normal(2.0, 1.0) @ "v"
+
+        @g.gen
+        def model():
+            idx = g.categorical(
+                jnp.log(jnp.array([0.5, 0.5]))
+            ) @ "idx"
+            out = b0.switch(b1)(idx, (), ()) @ "sw"
+            _ = g.normal(out, 0.5) @ "y"
+
+        y_obs = 1.5
+        target = Target(model, (), g.C["y"].set(y_obs))
+        # Exact: P(idx=k | y) ∝ 0.5 · N(y; mu_k, sqrt(1 + 0.25)).
+        import scipy.stats as st
+
+        lik = [st.norm.pdf(y_obs, mk, np.sqrt(1.25)) for mk in (0.0, 2.0)]
+        p1_exact = lik[1] / (lik[0] + lik[1])
+
+        tr, _ = target.importance(
+            jax.random.key(0), g.ChoiceMap.empty()
+        )
+        req = g.Regenerate(
+            g.Selection.at["idx"] | g.Selection.at["sw"]
+        )
+
+        def step(tr, k):
+            new_tr, _ = mh(k, tr, req)
+            return new_tr, new_tr.get_choices()["idx"]
+
+        _, idxs = jax.lax.scan(
+            step, tr, jax.random.split(jax.random.key(1), 8000)
+        )
+        p1 = float((np.asarray(idxs)[2000:] == 1).mean())
+        assert abs(p1 - p1_exact) < 0.035, (p1, p1_exact)
