@@ -93,6 +93,18 @@ class MaskCombinator(GenerativeFunction[Any]):
 
     def assess(self, chm: ChoiceMap, args: tuple):
         check, inner_args = _check_scalar_flag(args[0]), args[1:]
+        if isinstance(check, (bool, int)) and not check:
+            # Statically masked OFF: a simulated trace's choices prune
+            # to Empty under a concrete False flag (ChoiceMap.mask),
+            # so the simulate→assess round trip must not demand inner
+            # values — nothing was measured, the score is 0 and the
+            # retval a zero-filled shape evaluation (round-5
+            # combinator-fuzz fix; traced flags keep Mask-wrapped
+            # values and take the general path below).
+            from genjax_tpu.core.compiler.staging import empty_trace
+
+            zero = empty_trace(self.inner, inner_args)
+            return jnp.zeros(()), Mask.build(zero.get_retval(), check)
         score, retval = self.inner.assess(chm, inner_args)
         return _flag_times(check, score), Mask.build(retval, check)
 

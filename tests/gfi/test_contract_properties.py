@@ -59,6 +59,27 @@ def _make_model(structure: str, mu: float):
     if structure == "vmap":
         model = leaf.vmap(in_axes=(0,))
         return model, (mu + jnp.arange(3.0),)
+    if structure == "mask":
+        model = leaf.mask()
+        return model, (mu > 0.0, mu)  # flag flips with the drawn mu
+    if structure == "or_else":
+        @g.gen
+        def other(shift):
+            return g.gamma(2.0, 2.0) @ "c2"
+
+        model = leaf.or_else(other)
+        return model, (mu > 0.0, (mu,), (mu,))
+    if structure == "mix":
+        @g.gen
+        def c0(shift):
+            return g.normal(shift, 1.0) @ "v"
+
+        @g.gen
+        def c1(shift):
+            return g.normal(-shift, 2.0) @ "v"
+
+        model = c0.mix(c1)
+        return model, (jnp.log(jnp.array([0.3, 0.7])), (mu,), (mu,))
     if structure == "switch":
         @g.gen
         def br0(shift):
@@ -78,7 +99,7 @@ def _make_model(structure: str, mu: float):
     raise ValueError(structure)
 
 
-STRUCTURES = ["nested", "scan", "vmap", "switch"]
+STRUCTURES = ["nested", "scan", "vmap", "switch", "mask", "or_else", "mix"]
 
 
 class TestRandomizedContracts:
@@ -168,3 +189,26 @@ class TestRandomizedContracts:
         np.testing.assert_allclose(
             float(w_back), -d_score, rtol=1e-5, atol=1e-5
         )
+
+
+class TestMaskedOffAssess:
+    def test_simulate_assess_roundtrip_static_false(self):
+        """Round-5 combinator-fuzz fix: a statically masked-OFF trace's
+        choices prune to Empty, and assess must return score 0 with a
+        masked retval instead of raising MissingAddress."""
+        @g.gen
+        def inner(shift):
+            a = g.normal(shift, 1.0) @ "a"
+            return a
+
+        model = inner.mask()
+        tr = model.simulate(jax.random.key(0), (False, 0.5))
+        assert float(tr.get_score()) == 0.0
+        score, retval = model.assess(tr.get_choices(), (False, 0.5))
+        assert float(score) == 0.0
+        assert not bool(retval.flag)
+        # generate under the same (empty) choices agrees.
+        _tr2, w = model.generate(
+            jax.random.key(1), tr.get_choices(), (False, 0.5)
+        )
+        assert float(w) == 0.0
