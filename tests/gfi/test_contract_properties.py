@@ -212,3 +212,76 @@ class TestMaskedOffAssess:
             jax.random.key(1), tr.get_choices(), (False, 0.5)
         )
         assert float(w) == 0.0
+
+
+class TestNestedCompositionContracts:
+    """Deterministic sweep of the core identities over NESTED
+    combinator compositions (scan-of-switch exercises the traced-index
+    switch path inside a scan; vmap-of-mask the per-lane flag path)."""
+
+    def _make(self, structure):
+        if structure == "scan_of_switch":
+            @g.gen
+            def b0(shift):
+                return g.normal(shift, 1.0) @ "v"
+
+            @g.gen
+            def b1(shift):
+                return g.normal(-shift, 2.0) @ "v"
+
+            @g.gen
+            def step(carry, x):
+                idx = g.flip(0.4) @ "pick"
+                out = b0.switch(b1)(
+                    jnp.int32(idx), (carry,), (carry,)
+                ) @ "sw"
+                return out * 0.5, out
+
+            return step.scan(n=3), (0.5, jnp.zeros(3))
+        if structure == "vmap_of_mask":
+            @g.gen
+            def inner(shift):
+                return g.normal(shift, 1.0) @ "a"
+
+            return inner.mask().vmap(in_axes=(0, 0)), (
+                jnp.array([True, False, True]), jnp.arange(3.0))
+        if structure == "repeat":
+            @g.gen
+            def inner(shift):
+                return g.normal(shift, 1.0) @ "a"
+
+            return inner.repeat(n=4), (0.5,)
+        if structure == "dimap":
+            @g.gen
+            def inner(shift):
+                a = g.normal(shift, 1.0) @ "a"
+                b = g.gamma(2.0, 2.0) @ "b"
+                return a + b
+
+            return inner.dimap(
+                pre=lambda s: (s * 2.0,),
+                post=lambda args, r: r - 1.0,
+            ), (0.25,)
+        raise ValueError(structure)
+
+    @pytest.mark.parametrize(
+        "structure",
+        ["scan_of_switch", "vmap_of_mask", "repeat", "dimap"],
+    )
+    def test_identities(self, structure):
+        model, args = self._make(structure)
+        for seed in range(3):
+            key = jax.random.key(seed * 13 + 5)
+            tr = model.simulate(key, args)
+            score = float(tr.get_score())
+            chm = tr.get_choices()
+            s2, _ = model.assess(chm, args)
+            np.testing.assert_allclose(float(s2), score, rtol=1e-5,
+                                       atol=1e-6)
+            _, w = model.generate(jax.random.fold_in(key, 1), chm, args)
+            np.testing.assert_allclose(float(w), score, rtol=1e-5,
+                                       atol=1e-6)
+            _, wu, _, _ = tr.edit(
+                jax.random.fold_in(key, 2), Update(chm)
+            )
+            np.testing.assert_allclose(float(wu), 0.0, atol=1e-5)
