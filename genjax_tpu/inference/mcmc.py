@@ -36,9 +36,28 @@ def mh(key: jax.Array, trace: Trace[Any],
     new_trace, w, _rd, _bwd = trace.edit(key, request)
     log_u = jnp.log(jax.random.uniform(accept_key, ()))
     accept = log_u < w
-    out = jtu.tree_map(
-        lambda new, old: jnp.where(accept, new, old), new_trace, trace
-    )
+    try:
+        out = jtu.tree_map(
+            lambda new, old: jnp.where(accept, new, old), new_trace,
+            trace,
+        )
+    except ValueError:
+        # Structural static metadata can differ by OBJECT IDENTITY
+        # between the two traces even when the model is the same —
+        # combinator sugar built inline in a @gen body (e.g.
+        # ``c0.mix(c1)(...) @ "m"``) creates fresh function closures
+        # per trace of the body, and functions compare by identity.
+        # The LEAVES still align one-to-one, so select leafwise and
+        # keep the accepted side's static structure (round 5).
+        new_leaves, new_def = jtu.tree_flatten(new_trace)
+        old_leaves, old_def = jtu.tree_flatten(trace)
+        if len(new_leaves) != len(old_leaves):
+            raise
+        out = jtu.tree_unflatten(
+            new_def,
+            [jnp.where(accept, n, o)
+             for n, o in zip(new_leaves, old_leaves)],
+        )
     return out, accept
 
 

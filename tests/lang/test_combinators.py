@@ -939,3 +939,66 @@ class TestSwitchIndexMHPosterior:
         )
         p1 = float((np.asarray(idxs)[2000:] == 1).mean())
         assert abs(p1 - p1_exact) < 0.035, (p1, p1_exact)
+
+
+class TestInlineCombinatorSugar:
+    def test_inline_mix_mh_matches_quadrature(self):
+        """Round-5 fuzz find: combinator sugar built INLINE in a @gen
+        body (``c0.mix(c1)(...) @ "m"``) used to mint a fresh closure
+        per trace, so accept/reject tree_maps and scan carries failed
+        on structural inequality; the construction is now cached per
+        component tuple. End-to-end: MH over the mixture component
+        matches the exact two-component posterior."""
+        import numpy as np
+        import scipy.stats as st
+
+        from genjax_tpu.inference import Target, mh
+
+        @g.gen
+        def c0(shift):
+            return g.normal(shift, 1.0) @ "v"
+
+        @g.gen
+        def c1(shift):
+            return g.normal(-shift, 2.0) @ "v"
+
+        @g.gen
+        def model():
+            out = c0.mix(c1)(
+                jnp.log(jnp.array([0.3, 0.7])), (2.0,), (2.0,)
+            ) @ "m"
+            _ = g.normal(out, 0.5) @ "y"
+
+        y = 1.0
+        target = Target(model, (), g.C["y"].set(y))
+        lik0 = 0.3 * st.norm.pdf(y, 2.0, np.sqrt(1.25))
+        lik1 = 0.7 * st.norm.pdf(y, -2.0, np.sqrt(4.25))
+        p1_exact = lik1 / (lik0 + lik1)
+        tr, _ = target.importance(
+            jax.random.key(0), g.ChoiceMap.empty()
+        )
+        req = g.Regenerate(g.Selection.at["m"])
+
+        def step(tr, k):
+            new_tr, _ = mh(k, tr, req)
+            return new_tr, new_tr.get_choices()[
+                "m", "mixture_component"
+            ]
+
+        _, idxs = jax.lax.scan(
+            step, tr, jax.random.split(jax.random.key(1), 8000)
+        )
+        p1 = float((np.asarray(idxs)[2000:] == 1).mean())
+        assert abs(p1 - p1_exact) < 0.04, (p1, p1_exact)
+
+    def test_mix_and_or_else_construction_cached(self):
+        @g.gen
+        def a(s):
+            return g.normal(s, 1.0) @ "x"
+
+        @g.gen
+        def b(s):
+            return g.gamma(2.0, 2.0) @ "x"
+
+        assert a.mix(b) is a.mix(b)
+        assert a.or_else(b) is a.or_else(b)
